@@ -1,0 +1,107 @@
+"""URL expressions — all JVM-side Column functions (no Python UDFs).
+
+Spark-first equivalents of the reference's string surgery:
+
+- show-url user-id:  /root/reference/handler/google_api.py:106-116
+- API-url user-id:   /root/reference/handler/apple_podcast_api.py:131-135
+- fetch-url normalization: crawler_podcasts.py:48-52 +
+  apple_podcast_api.py:26-30 (default ``l=en-US&offset=10``)
+- canonicalization + xxhash64 keys for the URL-seen structures
+  (north_rule: "bloom/cuckoo URL-seen filter keyed on
+  canonicalized+hashed URLs").
+
+Everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+API_BASE = "https://amp-api.podcasts.apple.com"
+
+
+def host_of(url: Column) -> Column:
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def strip_query(url: Column) -> Column:
+    return F.split(url, r"\?", 2).getItem(0)
+
+
+def show_user_id(url: Column) -> Column:
+    """``ParseApplePodcastUserId``: digits after a trailing ``/id``; else ''."""
+    return F.regexp_extract(url, r"/id([0-9]+)$", 1)
+
+
+def api_user_id(url: Column) -> Column:
+    """``ApplePod.GetUserId``: the segment between ``podcasts/`` and
+    ``/episodes`` (reference keeps it verbatim, digits or not)."""
+    return F.regexp_extract(url, r"podcasts/([^/]*)/episodes", 1)
+
+
+def normalize_fetch_url(url: Column) -> Column:
+    """The URL a frontier entry actually requests (serde.normalize_fetch_url)."""
+    lang = F.coalesce(F.parse_url(url, F.lit("QUERY"), F.lit("l")), F.lit("en-US"))
+    offset = F.coalesce(F.parse_url(url, F.lit("QUERY"), F.lit("offset")), F.lit("10"))
+    return F.concat(strip_query(url), F.lit("?l="), lang, F.lit("&offset="), offset)
+
+
+def offset_of(url: Column) -> Column:
+    """Ordering-parity key component (O1): the ``offset`` query param."""
+    return F.coalesce(
+        F.parse_url(url, F.lit("QUERY"), F.lit("offset")).try_cast("int"),
+        F.lit(-1),
+    )
+
+
+def absolutize_next(next_url: Column) -> Column:
+    """apple_podcast_api.py:56-57 — prefix the API base when not absolute.
+
+    Applied to the validated cursor, so ``""`` becomes the bare base
+    (the reference's terminal-quirk fetch).
+    """
+    return F.when(next_url.startswith("http"), next_url).otherwise(
+        F.concat(F.lit(API_BASE), next_url)
+    )
+
+
+def validate_next(next_raw: Column) -> Column:
+    """apple_podcast_api.py:74-83 — missing / non-string ``next`` -> "".
+
+    ``from_json`` coerces any JSON scalar to string for a STRING field,
+    so "looks like a path or absolute url" stands in for the oracle's
+    ``isinstance(str)`` check (a numeric ``next`` fails it, exactly like
+    the reference).
+    """
+    ok = next_raw.rlike(r"^(https?://|/)")
+    return F.when(next_raw.isNotNull() & ok, next_raw).otherwise(F.lit(""))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for seen-set keys: lowercase scheme+host, strip
+    fragment and default port, sort query params, drop trailing ``?``.
+    """
+    proto = F.lower(F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit("http")))
+    host = F.coalesce(host_of(url), F.lit(""))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(url, F.lit("QUERY"))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            query.isNotNull() & (F.length(query) > 0), F.concat(F.lit("?"), sorted_query)
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_hash(url: Column, seed: int | None = None) -> Column:
+    """64-bit JVM-side hash key (xxhash64); ``seed`` derives independent
+    hash families for Bloom double-hashing."""
+    if seed is None:
+        return F.xxhash64(url)
+    return F.xxhash64(url, F.lit(seed))
