@@ -1,0 +1,138 @@
+"""Sharded Bloom URL-seen pre-filter (north_rule; SURVEY.md §4.2).
+
+PySpark's ``df.stat.bloomFilter`` builds driver-side; at 10^10 URLs the
+seen set needs a *distributed* build.  Here each shard is built by one
+grouped Arrow UDF over ``shard = pmod(h1, n_shards)`` using pure numpy
+bit-twiddling; the assembled shards broadcast to executors for probing.
+
+Correctness contract (SURVEY.md §2.3 D1): the Bloom only *gates* — a
+probe-negative is definitely-new (no false negatives by construction),
+a probe-positive is confirmed by the exact anti-join.  The final seen
+set is therefore byte-equal to the exact computation; the Bloom just
+shrinks the anti-join's left input to true-dupes + false-positives.
+
+Hashes are computed JVM-side (``xxhash64``) *before* the UDF boundary;
+double hashing ``g_i = h1 + i*h2 (mod m)`` derives k probe positions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import url_hash
+
+_H2_SEED = 0x9E3779B9
+
+
+@dataclass
+class BloomShards:
+    n_shards: int
+    m_bits: int
+    k: int
+    shards: dict[int, bytes]  # shard -> bit array
+    n_items: int = 0
+
+    def to_rows(self) -> list[tuple[int, bytes, int]]:
+        return [(s, b, self.n_items) for s, b in sorted(self.shards.items())]
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n, k) probe positions via double hashing, vectorized uint64."""
+    h1u = h1.astype(np.uint64)
+    h2u = h2.astype(np.uint64) | np.uint64(1)  # odd step
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1u[:, None] + i * h2u[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def _with_hashes(df: DataFrame, key_col: str) -> DataFrame:
+    return df.withColumn("_h1", url_hash(F.col(key_col))).withColumn(
+        "_h2", url_hash(F.col(key_col), _H2_SEED)
+    )
+
+
+def build_bloom_shards(
+    seen: DataFrame,
+    key_col: str = "url",
+    n_shards: int = 32,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> BloomShards:
+    """Distributed build: one Arrow group per shard -> bit array rows,
+    assembled (a few MB total) on the driver for broadcast."""
+    m = m_bits
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m)
+        arr = np.zeros(m // 8, dtype=np.uint8)
+        flat = pos.reshape(-1)
+        np.bitwise_or.at(arr, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"shard": [int(pdf["_shard"].iloc[0])], "bits": [arr.tobytes()], "n": [len(pdf)]}
+        )
+
+    hashed = _with_hashes(seen, key_col).withColumn(
+        "_shard", F.pmod(F.col("_h1"), F.lit(n_shards))
+    )
+    rows = (
+        hashed.select("_shard", "_h1", "_h2")
+        .groupBy("_shard")
+        .applyInPandas(build, schema="shard INT, bits BINARY, n BIGINT")
+        .collect()
+    )
+    shards = {r["shard"]: bytes(r["bits"]) for r in rows}
+    total = sum(r["n"] for r in rows)
+    return BloomShards(n_shards=n_shards, m_bits=m, k=k, shards=shards, n_items=total)
+
+
+def probe_bloom(
+    df: DataFrame, bloom: BloomShards, key_col: str = "url", out_col: str = "maybe_seen"
+) -> DataFrame:
+    """Add ``out_col`` boolean; rows whose shard is absent are
+    definitely-new."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {s: np.frombuffer(b, dtype=np.uint8) for s, b in bloom.shards.items()}
+    )
+    k, m, n_shards = bloom.k, bloom.m_bits, bloom.n_shards
+
+    @F.pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
+        shards = bc.value
+        out = np.zeros(len(h1), dtype=bool)
+        sh = shard.to_numpy()
+        h1n, h2n = h1.to_numpy(), h2.to_numpy()
+        for s in np.unique(sh):
+            arr = shards.get(int(s))
+            if arr is None:
+                continue
+            idx = np.nonzero(sh == s)[0]
+            pos = _positions(h1n[idx], h2n[idx], k, m)
+            hit = np.all(arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8) != 0, axis=1)
+            out[idx] = hit
+        return pd.Series(out)
+
+    hashed = _with_hashes(df, key_col).withColumn(
+        "_shard", F.pmod(F.col("_h1"), F.lit(n_shards))
+    )
+    return hashed.withColumn(out_col, _probe("_h1", "_h2", "_shard")).drop(
+        "_h1", "_h2", "_shard"
+    )
+
+
+def bloom_gated_anti_join(
+    new: DataFrame, seen: DataFrame, bloom: BloomShards, key_col: str = "url"
+) -> DataFrame:
+    """Exact anti-join accelerated by the Bloom gate: probe-negatives
+    bypass the shuffle entirely; probe-positives are confirmed exactly."""
+    probed = probe_bloom(new, bloom, key_col)
+    definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = suspects.join(
+        seen.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)

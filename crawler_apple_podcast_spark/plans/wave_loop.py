@@ -1,0 +1,245 @@
+"""Driver-side BFS wave loop — the reference's pagination loop,
+re-architected (SURVEY.md §3 E1.4).
+
+The reference advances one seed at a time, one page per ~12.9 s
+(crawler_podcasts.py:25-81).  Here every live seed advances one
+pagination step per *wave*: the whole frontier is politeness-gated,
+joined against the ``pages`` table in one broadcast join, parsed
+natively, and the next frontier is built from the extracted cursors.
+Ordering parity with the sequential reference is defined on the O1
+total order ``(seed_index, offset, array_pos)`` which every emission
+carries.
+
+Scale shape per wave (1000-executor reading 100 TB):
+- the frontier wave is small (≤ millions of rows) -> it is ALWAYS the
+  broadcast side; the pages table is streamed, never shuffled;
+- a missed fetch is an anti-join of the (broadcast) wave against the
+  (broadcast) hit set — no big-table shuffle anywhere;
+- per-wave state is truncated via localCheckpoint / snapshot read-back,
+  so the logical plan does not grow with wave count;
+- every wave commits atomically through ``SnapshotStore`` with
+  per-host counters in the manifest (kill -> resume from HEAD).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import episodes as E
+from ..functions import urls as U
+from ..operators.politeness import filter_disallowed, host_budgets, parse_robots, politeness_gate
+from .snapshots import SnapshotStore
+
+EPISODES_COLS = [
+    "seed_index", "offset", "pos", "wave", "source_url",
+    "id", "title", "full_url", "author", "duration", "categories", "asset_url",
+]
+
+
+@dataclass
+class WaveConfig:
+    max_waves: int = 64
+    wave_seconds: int = 3600          # politeness wall-clock budget per wave
+    use_politeness: bool = True
+    use_robots_disallow: bool = False  # reference never consults robots (quirk)
+    default_budget: int = 1 << 30
+    default_crawl_delay: int = 5
+    salt_n: int = 16
+
+
+@dataclass
+class CrawlOutputs:
+    episodes: DataFrame
+    metrics: DataFrame
+    fetch_log: DataFrame
+    n_waves: int
+    manifests: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    cfg: WaveConfig | None = None,
+    store: SnapshotStore | None = None,
+    resume: bool = False,
+) -> CrawlOutputs:
+    """Crawl to frontier exhaustion.  ``seeds``: (seed_index, url[, ...]).
+
+    With ``store`` set, each wave is one atomic commit of
+    ``episodes / metrics / fetch_log / frontier``; ``resume=True``
+    restarts from the last committed frontier snapshot.
+    """
+    cfg = cfg or WaveConfig()
+
+    robots = parse_robots(pages).cache() if (cfg.use_politeness or cfg.use_robots_disallow) else None
+    budgets = (
+        host_budgets(robots, cfg.wave_seconds, cfg.default_crawl_delay)
+        if cfg.use_politeness and robots is not None
+        else None
+    )
+
+    frontier_schema = "seed_index INT, url STRING, priority INT"
+    visited_schema = "seed_index INT, fetch_url STRING"
+
+    start_wave = 0
+    if resume and store is not None and store.last_committed_wave() is not None:
+        head = store.last_committed_wave()
+        frontier = store.read_wave("frontier", head)
+        visited = store.read_table("fetch_log").select("seed_index", "fetch_url")
+        start_wave = head + 1
+    else:
+        frontier = seeds.select(
+            F.col("seed_index").cast("int"), "url", F.lit(0).alias("priority")
+        )
+        visited = _empty(spark, visited_schema)
+
+    episodes_parts: list[DataFrame] = []
+    metrics_parts: list[DataFrame] = []
+    fetchlog_parts: list[DataFrame] = []
+    manifests: list[dict[str, Any]] = []
+
+    wave = start_wave
+    while wave < cfg.max_waves:
+        if frontier.limit(1).count() == 0:
+            break
+
+        f = frontier.withColumn("fetch_url", U.normalize_fetch_url(F.col("url")))
+        if cfg.use_robots_disallow and robots is not None:
+            f = filter_disallowed(f, robots)
+
+        if cfg.use_politeness:
+            scheduled, deferred = politeness_gate(
+                f,
+                budgets,
+                default_budget=cfg.default_budget,
+                key_cols=["seed_index", "fetch_url"],
+                salt_n=cfg.salt_n,
+            )
+        else:
+            scheduled, deferred = f, _empty(
+                spark, frontier_schema + ", fetch_url STRING"
+            )
+
+        wave_side = scheduled.select("seed_index", "fetch_url", "priority").withColumn(
+            "wave", F.lit(wave)
+        )
+        # fetch = broadcast-join the (small) wave against the (huge) pages
+        hits = pages.select(F.col("url").alias("fetch_url"), "html").join(
+            F.broadcast(wave_side), "fetch_url", "inner"
+        )
+        misses = wave_side.join(
+            F.broadcast(hits.select("fetch_url", "seed_index")),
+            ["fetch_url", "seed_index"],
+            "left_anti",
+        ).withColumn("html", F.lit(None).cast("binary"))
+        fetched = hits.select(*misses.columns)  # align column order
+        fetched = fetched.unionByName(misses)
+
+        parsed = E.next_cursor(E.parse_pages(fetched)).localCheckpoint()
+
+        eps = E.extract_episodes(parsed).select(*EPISODES_COLS)
+        fetch_log = parsed.select(
+            "seed_index",
+            "fetch_url",
+            F.lit(wave).alias("wave"),
+            F.col("fetch_ok"),
+            U.offset_of(F.col("fetch_url")).alias("offset"),
+        )
+        metrics = (
+            parsed.withColumn("host", U.host_of(F.col("fetch_url")))
+            .groupBy(F.lit(wave).alias("wave"), "host")
+            .agg(
+                F.count(F.lit(1)).alias("scheduled"),
+                F.sum(F.when(F.col("fetch_ok"), 1).otherwise(0)).alias("fetched"),
+                F.sum(F.when(~F.col("fetch_ok"), 1).otherwise(0)).alias("failed"),
+                F.sum(F.size(F.coalesce(F.col("parsed.data"), F.array()))).alias("records"),
+                F.sort_array(
+                    F.collect_list(F.when(~F.col("fetch_ok"), F.col("fetch_url")))
+                ).alias("fail_urls"),
+            )
+        )
+
+        # next frontier: live cursors, minus already-visited (cycle guard),
+        # plus politeness-deferred rows
+        visited = visited.unionByName(
+            fetch_log.select("seed_index", "fetch_url")
+        ).localCheckpoint()
+        nxt = (
+            parsed.where(F.col("fetch_ok"))
+            .select(
+                "seed_index",
+                F.col("next_url").alias("url"),
+                F.lit(wave + 1).alias("priority"),
+            )
+            .withColumn("fetch_url", U.normalize_fetch_url(F.col("url")))
+            .join(F.broadcast(visited), ["seed_index", "fetch_url"], "left_anti")
+            .drop("fetch_url")
+        )
+        frontier = nxt.unionByName(
+            deferred.select("seed_index", "url", "priority")
+        ).localCheckpoint()
+
+        if store is not None:
+            m = store.commit_wave(
+                wave,
+                {
+                    "episodes": eps,
+                    "metrics": metrics,
+                    "fetch_log": fetch_log,
+                    "frontier": frontier,
+                },
+                metrics={"wave": wave},
+            )
+            manifests.append(m)
+            eps = store.read_wave("episodes", wave)
+            metrics = store.read_wave("metrics", wave)
+            fetch_log = store.read_wave("fetch_log", wave)
+            frontier = store.read_wave("frontier", wave)
+        else:
+            eps = eps.localCheckpoint()
+            metrics = metrics.localCheckpoint()
+            fetch_log = fetch_log.localCheckpoint()
+
+        episodes_parts.append(eps)
+        metrics_parts.append(metrics)
+        fetchlog_parts.append(fetch_log)
+        wave += 1
+
+    def _union(parts: list[DataFrame], schema: str) -> DataFrame:
+        if not parts:
+            return _empty(spark, schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    episodes = _union(
+        episodes_parts,
+        "seed_index INT, offset INT, pos INT, wave INT, source_url STRING, "
+        + E.EPISODE_SCHEMA,
+    )
+    metrics = _union(
+        metrics_parts,
+        "wave INT, host STRING, scheduled BIGINT, fetched BIGINT, failed BIGINT, "
+        "records BIGINT, fail_urls ARRAY<STRING>",
+    )
+    fetch_log = _union(
+        fetchlog_parts,
+        "seed_index INT, fetch_url STRING, wave INT, fetch_ok BOOLEAN, offset INT",
+    )
+    return CrawlOutputs(
+        episodes=episodes,
+        metrics=metrics,
+        fetch_log=fetch_log,
+        n_waves=wave - start_wave,
+        manifests=manifests,
+    )

@@ -1,0 +1,53 @@
+"""Sharded Bloom gate: no false negatives ever; gated anti-join is
+byte-equal to the exact anti-join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators.bloom import (
+    build_bloom_shards,
+    bloom_gated_anti_join,
+    probe_bloom,
+)
+
+
+def _urls(spark, n, prefix):
+    return spark.range(n).select(
+        F.concat(F.lit(f"https://example.com/{prefix}/"), F.col("id")).alias("url")
+    )
+
+
+def test_no_false_negatives(spark):
+    seen = _urls(spark, 500, "seen")
+    bloom = build_bloom_shards(seen, n_shards=8, m_bits=1 << 14, k=5)
+    assert bloom.n_items == 500
+    probed = probe_bloom(seen, bloom)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_gated_anti_join_equals_exact(spark):
+    seen = _urls(spark, 400, "seen")
+    new = _urls(spark, 300, "seen").unionAll(_urls(spark, 200, "new"))
+    # tiny filter -> plenty of false positives; result must still be exact
+    bloom = build_bloom_shards(seen, n_shards=4, m_bits=1 << 10, k=3)
+    got = sorted(r.url for r in bloom_gated_anti_join(new, seen, bloom).collect())
+    want = sorted(r.url for r in new.join(seen, "url", "left_anti").collect())
+    assert got == want
+    assert len(got) == 200
+
+
+def test_fpp_reasonable(spark):
+    seen = _urls(spark, 1000, "seen")
+    bloom = build_bloom_shards(seen, n_shards=8, m_bits=1 << 17, k=5)
+    fresh = _urls(spark, 2000, "fresh")
+    fp = probe_bloom(fresh, bloom).where(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.05
+
+
+def test_shard_rows_roundtrip(spark):
+    seen = _urls(spark, 100, "seen")
+    bloom = build_bloom_shards(seen, n_shards=4, m_bits=1 << 12, k=4)
+    rows = bloom.to_rows()
+    assert len(rows) <= 4
+    assert all(len(bits) == (1 << 12) // 8 for _, bits, _ in rows)

@@ -1,0 +1,93 @@
+"""Unit tests for the JVM-side URL expressions vs the reference's
+string surgery (serde.py re-implements the reference exactly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.functions import urls as U
+from crawler_apple_podcast_spark import serde
+
+SHOW = "https://podcasts.apple.com/us/podcast"
+API = "https://amp-api.podcasts.apple.com/v1/catalog/us/podcasts"
+
+FIXTURE_URLS = [
+    f"{SHOW}/trashfuture/id1261944206",
+    f"{SHOW}/oppenheimer/id1220985045",
+    # percent-encoded non-ASCII slug (doc/web_search_info.sql:82 shape)
+    f"{SHOW}/%D8%A8%D9%88%D8%AF%D9%83%D8%A7%D8%B3%D8%AA/id1530599871",
+    f"{SHOW}/broken/id12345x",        # trailing non-digit -> ""
+    f"{SHOW}/noid/slug",              # no /id segment -> ""
+    "",                                # empty
+]
+
+
+def _col(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], "url STRING")
+    return [r.out for r in df.select(expr(F.col("url")).alias("out")).collect()]
+
+
+def test_show_user_id_matches_reference(spark):
+    got = _col(spark, FIXTURE_URLS, U.show_user_id)
+    want = [serde.parse_user_id_from_show_url(u) for u in FIXTURE_URLS]
+    assert got == want
+
+
+def test_api_user_id_matches_reference(spark):
+    urls = [f"{API}/1261944206/episodes", f"{API}/918896288/episodes?l=en-US&offset=30"]
+    got = _col(spark, urls, U.api_user_id)
+    want = [serde.parse_user_id_from_api_url(u.split("?")[0]) for u in urls]
+    assert got == want == ["1261944206", "918896288"]
+
+
+def test_normalize_fetch_url_matches_reference(spark):
+    urls = [
+        f"{API}/1261944206/episodes",
+        f"{API}/1261944206/episodes?l=en-US&offset=30",
+        "https://amp-api.podcasts.apple.com",  # terminal quirk url
+    ]
+    got = _col(spark, urls, U.normalize_fetch_url)
+    want = [serde.normalize_fetch_url(u) for u in urls]
+    assert got == want
+    assert got[0].endswith("?l=en-US&offset=10")
+
+
+def test_offset_of(spark):
+    urls = [f"{API}/1/episodes?l=en-US&offset=40", f"{API}/1/episodes?l=en-US", "x"]
+    assert _col(spark, urls, U.offset_of) == [40, -1, -1]
+
+
+def test_validate_and_absolutize_next(spark):
+    vals = ["/v1/catalog/x?offset=20", "https://a.b/c", "12345", None]
+    df = spark.createDataFrame([(v,) for v in vals], "n STRING")
+    out = [
+        r.out
+        for r in df.select(U.absolutize_next(U.validate_next(F.col("n"))).alias("out")).collect()
+    ]
+    assert out == [
+        "https://amp-api.podcasts.apple.com/v1/catalog/x?offset=20",
+        "https://a.b/c",
+        "https://amp-api.podcasts.apple.com",  # non-string-next quirk
+        "https://amp-api.podcasts.apple.com",
+    ]
+
+
+def test_canonicalize_url(spark):
+    urls = [
+        "HTTPS://Example.COM:443/Path?b=2&a=1#frag",
+        "http://example.com:80/x",
+        "https://example.com/x?z=1",
+    ]
+    got = _col(spark, urls, U.canonicalize_url)
+    assert got[0] == "https://example.com/Path?a=1&b=2"
+    assert got[1] == "http://example.com/x"
+    assert got[2] == "https://example.com/x?z=1"
+
+
+def test_url_hash_deterministic_and_seeded(spark):
+    urls = ["https://a/1", "https://a/2"]
+    h0 = _col(spark, urls, U.url_hash)
+    h1 = _col(spark, urls, lambda c: U.url_hash(c, 7))
+    assert h0 == _col(spark, urls, U.url_hash)
+    assert h0 != h1
+    assert len(set(h0)) == 2

@@ -1,0 +1,85 @@
+"""Engine-vs-oracle parity (SURVEY.md §5.1): same seeds, same corpus,
+same politeness budget -> identical emissions (O1 order), identical
+fetch set, identical extraction bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.functions.episodes import parity_text
+from crawler_apple_podcast_spark.oracle import crawl
+from crawler_apple_podcast_spark.plans.wave_loop import WaveConfig, run_crawl
+
+
+def _oracle(corpus_pdfs):
+    pages_pdf, seeds_pdf = corpus_pdfs
+    lookup = dict(zip(pages_pdf.url, pages_pdf.html))
+    return crawl(list(seeds_pdf.url), lookup)
+
+
+def _engine(spark, corpus, politeness=True):
+    pages, seeds = corpus
+    cfg = WaveConfig(use_politeness=politeness, max_waves=32)
+    return run_crawl(spark, pages, seeds, cfg)
+
+
+def _emission_key(rec):
+    return (
+        rec["id"], rec["title"], rec["full_url"], rec["author"],
+        rec["duration"], tuple(rec["categories"]), rec["asset_url"],
+    )
+
+
+def test_emissions_match_oracle_o1_order(spark, corpus, corpus_pdfs):
+    want = _oracle(corpus_pdfs)
+    got = _engine(spark, corpus)
+
+    got_rows = [
+        ((r.seed_index, r.offset, r.pos), _emission_key(r.asDict()))
+        for r in got.episodes.orderBy("seed_index", "offset", "pos").collect()
+    ]
+    want_rows = [
+        ((e["seed_index"], e["offset"], e["pos"]), _emission_key(e["record"]))
+        for e in want.emissions
+    ]
+    assert len(got_rows) == len(want_rows) > 0
+    assert got_rows == want_rows
+
+
+def test_fetch_set_matches_oracle(spark, corpus, corpus_pdfs):
+    """Every (seed, url) the reference fetches, the engine fetches —
+    including the terminal bare-base quirk fetches — and no others."""
+    want = _oracle(corpus_pdfs)
+    got = _engine(spark, corpus)
+    got_set = {
+        (r.seed_index, r.fetch_url, r.fetch_ok) for r in got.fetch_log.collect()
+    }
+    want_set = {(si, u, hit) for si, u, hit in want.fetch_log}
+    assert got_set == want_set
+
+
+def test_parity_without_politeness_gate(spark, corpus, corpus_pdfs):
+    want = _oracle(corpus_pdfs)
+    got = _engine(spark, corpus, politeness=False)
+    assert got.episodes.count() == len(want.emissions)
+
+
+def test_extraction_bytes_match_corpus(spark, corpus):
+    pages, _ = corpus
+    got = _engine(spark, corpus)
+    texts = parity_text(got.episodes)
+    joined = texts.join(pages.select("url", F.col("text").alias("want")), "url")
+    assert joined.where(F.col("text") != F.col("want")).count() == 0
+    assert joined.count() == texts.count() > 0
+
+
+def test_metrics_counters(spark, corpus, corpus_pdfs):
+    want = _oracle(corpus_pdfs)
+    got = _engine(spark, corpus)
+    total = got.metrics.agg(
+        F.sum("scheduled").alias("s"), F.sum("fetched").alias("ok"),
+        F.sum("failed").alias("bad"),
+    ).collect()[0]
+    assert total.s == len(want.fetch_log)
+    assert total.ok == sum(1 for _, _, hit in want.fetch_log if hit)
+    assert total.bad == sum(1 for _, _, hit in want.fetch_log if not hit)
