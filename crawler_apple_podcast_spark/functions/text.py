@@ -1,0 +1,93 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure JVM-side Column expressions (split / lambda higher-order
+functions / integer arithmetic) — no Python on the hot path.  Outputs
+are integers (counts, per-mille ratios via integer division) so results
+are exactly reproducible in any ANSI SQL engine (the DuckDB oracle).
+
+ANSI-mode note (Spark 4 default): divisions guard with ``nullif``; all
+operands are non-negative and far below 2^53, so ``floor(a/b)`` equals
+SQL integer division exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# compact English stopword list used by both engine and oracle SQL
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+FINGERPRINT_MOD = 1_000_003
+
+
+def idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative operands (== SQL ``//``),
+    NULL on zero divisor -> coalesced to 0."""
+    return F.coalesce(
+        F.floor(a.cast("double") / F.nullif(b.cast("double"), F.lit(0.0))).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped (both engines agree)."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex tokens: word pieces + standalone non-space symbols."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9']+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def stopword_count(text: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(text), lambda x: F.array_contains(stops, x))).cast("long")
+
+
+def stopword_ratio_milli(text: Column) -> Column:
+    """Stopwords per 1000 tokens — exact integer division."""
+    return idiv(stopword_count(text) * F.lit(1000), token_count_ws(text))
+
+
+def lang_id(text: Column, threshold_milli: int = 30) -> Column:
+    """Heuristic language ID: 'en' iff the stopword ratio clears
+    ``threshold_milli`` per-mille."""
+    return F.when(stopword_ratio_milli(text) >= threshold_milli, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9 ]"), F.lit(0))).cast("long")
+
+
+def quality_score_milli(text: Column) -> Column:
+    """Deterministic integer quality score in [0, 1000]: mean of three
+    per-mille components — stopword ratio (natural-language signal),
+    alpha-char density, and a length-band score."""
+    toks = token_count_ws(text)
+    stop_m = idiv(stopword_count(text) * F.lit(1000), toks)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    alpha_m = idiv(alpha * F.lit(1000), F.length(text).cast("long"))
+    len_m = F.when((toks >= 20) & (toks <= 1000), F.lit(1000)).otherwise(F.lit(200)).cast("long")
+    return idiv(stop_m + alpha_m + len_m, F.lit(3))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: position-weighted token
+    codes summed, reduced mod FINGERPRINT_MOD.  Matches the DuckDB
+    formulation with 1-based ``list_transform`` indices."""
+    codes = F.transform(
+        tokens(text),
+        lambda x, i: (i.cast("long") + 1)
+        * (F.ascii(x).cast("long") + F.lit(31) * F.length(x).cast("long")),
+    )
+    total = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.pmod(total, F.lit(FINGERPRINT_MOD))

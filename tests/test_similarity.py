@@ -1,0 +1,99 @@
+"""Dedup / similarity operators: LSH-pruned results equal exact
+computations; ANN brute force agrees with numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id INT, text STRING"
+    )
+    out = {r.keep_id: r.n_dups for r in S.exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id INT, text STRING")
+    rows = sorted((r.doc_id, r.shingle) for r in S.shingle_rows(df, "doc_id", "text", 3).collect())
+    assert rows == [(1, "a b c"), (1, "b c d")]
+
+
+def test_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")], "doc_id INT, text STRING"
+    )
+    sh = S.shingle_rows(df, "doc_id", "text", 2)
+    # doc1 grams {ab,bc,cd,de}, doc2 {ab,bc,cd,dx}: inter=3, union=5 -> 600
+    out = {(r.doc_a, r.doc_b): r.jaccard_milli for r in S.jaccard_pairs(sh, 0).collect()}
+    assert out == {(1, 2): 600}
+
+
+def test_minhash_lsh_equals_exact_on_documents(spark, docs):
+    """On the real documents table the LSH-pruned+confirmed pairs must
+    equal the exact all-pairs result at the threshold."""
+    thr = 500
+    sh = S.shingle_rows(docs, "doc_id", "text", 3)
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard_milli) for r in S.jaccard_pairs(sh, thr).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard_milli)
+        for r in S.minhash_dedup_pairs(docs, "doc_id", "text", 3, thr).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_and_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "z1 z2 z3 z4 z5 z6")],
+        "doc_id INT, text STRING",
+    )
+    sims = S.simhash(df, "doc_id", "text")
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in S.simhash_near_pairs(sims, 6).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    q_row = emb.where(F.col("vec_id") == 0).collect()[0]
+    q = list(q_row.embedding)
+    got = [(r.vec_id, r.cosine) for r in S.cosine_topk_bruteforce(emb, q, 5).collect()]
+
+    rows = emb.collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    qv = np.array(q, dtype=np.float64)
+    sims = m @ qv / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(ids, np.round(sims, 4)), key=lambda t: (-t[1], t[0]))[:5]
+    assert [g[0] for g in got] == [int(i) for i, _ in order]
+    assert got[0][0] == 0  # query is its own nearest neighbor
+    for (gi, gs), (wi, ws) in zip(got, order):
+        assert abs(gs - ws) < 2e-4
+
+
+def test_lsh_bucket_ann_returns_query_bucket_subset(spark, emb):
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0].embedding)
+    got = S.cosine_topk_lsh(emb, q, k=5, n_planes=6).collect()
+    assert len(got) >= 1
+    assert got[0].vec_id == 0  # query lands in its own bucket, rank 1
+    assert all(-1.0 <= r.cosine <= 1.0 for r in got)

@@ -1,0 +1,65 @@
+"""Text-analysis expressions vs straightforward Python reimplementations
+and the sf0.001 documents table."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _py_tokens(s):
+    return [t for t in s.split(" ") if t]
+
+
+def test_token_counts(spark, docs):
+    rows = docs.select(
+        "text", T.token_count_ws(F.col("text")).alias("ws"), T.token_count_bpe(F.col("text")).alias("bpe")
+    ).collect()
+    pat = re.compile(r"[A-Za-z0-9']+|[^A-Za-z0-9\s]")
+    for r in rows:
+        assert r.ws == len(_py_tokens(r.text))
+        assert r.bpe == len(pat.findall(r.text))
+
+
+def test_stopword_and_lang(spark, docs):
+    rows = docs.select(
+        "text",
+        T.stopword_count(F.col("text")).alias("sc"),
+        T.stopword_ratio_milli(F.col("text")).alias("rm"),
+        T.lang_id(F.col("text")).alias("lid"),
+    ).collect()
+    for r in rows:
+        toks = _py_tokens(r.text)
+        sc = sum(1 for t in toks if t in T.STOPWORDS)
+        assert r.sc == sc
+        want_rm = (sc * 1000) // len(toks) if toks else 0
+        assert r.rm == want_rm
+        assert r.lid == ("en" if want_rm >= 30 else "other")
+
+
+def test_fingerprint_matches_python(spark, docs):
+    rows = docs.select("text", T.fingerprint(F.col("text")).alias("fp")).collect()
+    for r in rows:
+        toks = _py_tokens(r.text)
+        total = sum(
+            (i + 1) * (ord(t[0]) + 31 * len(t)) for i, t in enumerate(toks)
+        )
+        assert r.fp == total % T.FINGERPRINT_MOD
+
+
+def test_quality_score_range_and_determinism(spark, docs):
+    a = [r.q for r in docs.select(T.quality_score_milli(F.col("text")).alias("q")).collect()]
+    b = [r.q for r in docs.select(T.quality_score_milli(F.col("text")).alias("q")).collect()]
+    assert a == b
+    assert all(0 <= q <= 1000 for q in a)
