@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: the engine's frontier schedule+dedupe pipeline
+              (Bloom-gated exact anti-join + per-host politeness gate +
+              counter aggregation) over a frontier derived from the
+              sf0.001 ``events`` table.
+``queries`` / ``oracle_sql`` — operator catalog in
+              ``crawler_apple_podcast_spark/queries.py`` (one entry per
+              implemented operator family from SURVEY.md §2 plus the
+              training-data-pipeline operators).
 """
 
 from __future__ import annotations
@@ -12,27 +15,61 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark import queries as _catalog
+from crawler_apple_podcast_spark.operators.bloom import build_bloom_shards, bloom_gated_anti_join
+from crawler_apple_podcast_spark.operators.politeness import politeness_gate
+from crawler_apple_podcast_spark.functions.urls import host_of
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Schedules a synthetic URL frontier: canonical url per event, seen
+    set = low-value events (already-crawled ledger analog), Bloom-gated
+    exact dedupe, per-host politeness budget, per-host counters.
+    """
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    url = F.concat(
+        F.lit("https://host"), F.pmod(F.col("user_id"), F.lit(20)).cast("string"),
+        F.lit(".example/e/"), F.col("event_id").cast("string"),
+    )
+    frontier = e.select(
+        url.alias("fetch_url"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("priority"),
+        (F.col("value") < 5).alias("_seen"),
+    )
+    seen = frontier.where(F.col("_seen")).select("fetch_url")
+    candidates = frontier.select("fetch_url", "priority")
+
+    bloom = build_bloom_shards(seen, "fetch_url", n_shards=8, m_bits=1 << 16, k=5)
+    fresh = bloom_gated_anti_join(candidates, seen, bloom, "fetch_url")
+
+    scheduled, deferred = politeness_gate(fresh, None, default_budget=50)
+    return (
+        scheduled.withColumn("host", host_of(F.col("fetch_url")))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("scheduled"),
+            F.min("priority").alias("top_priority"),
+        )
+        .orderBy("host")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Every computed column is aliased identically in ``oracle_sql``.
     """
-    return {}
+    return _catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names).  Keys
+    absent here (``dedup_simhash``, ``ann_lsh_bucketed``) are hash-based
+    operators not expressible in the oracle — rows-only check."""
+    return _catalog.oracle_sql()

@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract + north-rule metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "frontier_urls_per_sec": ..., "frontier_urls": ...}
+
+The headline north-rule metric is frontier URLs scheduled+deduped per
+second: a skewed synthetic frontier (90% of URLs on one apple.com-style
+host) is Bloom-gated against a seen set, exactly anti-join confirmed,
+politeness-gated per host, and counted.  Input is generated with
+``spark.range`` executor-side — nothing materializes on the driver, so
+the same code paths scale to the 10^10-URL target.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_FRONTIER_URLS (default 2e6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators.bloom import build_bloom_shards, bloom_gated_anti_join
+from crawler_apple_podcast_spark.operators.politeness import politeness_gate
+from crawler_apple_podcast_spark.session import get_spark
+import crawler_apple_podcast_spark.queries as catalog
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "d4_fetch_join_counters",
+    "d1_two_key_anti_join",
+    "p8_explode_tokens",
+    "o2_result_window_limit",
+    "a2_skew_twophase_agg",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_stats",
+    "text_fingerprint",
+]
+
+
+def synth_frontier(spark, n: int):
+    """Skewed URL corpus: 90% on the hot apple host (the reference's
+    corpus shape), remainder over 1000 hosts."""
+    base = spark.range(n)
+    host = F.when(
+        F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("amp-api.podcasts.apple.com")
+    ).otherwise(F.concat(F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"), F.lit(".example")))
+    return base.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id").cast("string")).alias("fetch_url"),
+        F.pmod(F.col("id"), F.lit(5)).cast("int").alias("priority"),
+        F.col("id"),
+    )
+
+
+def bench_frontier(spark, n_urls: int) -> dict:
+    """North-rule metric: URLs scheduled+deduped per second."""
+    frontier = synth_frontier(spark, n_urls)
+    seen = frontier.where(F.pmod(F.col("id"), F.lit(2)) == 0).select("fetch_url")
+
+    t0 = time.time()
+    bloom = build_bloom_shards(
+        seen, "fetch_url", n_shards=64, k=5, expected_items=n_urls // 2
+    )
+    fresh = bloom_gated_anti_join(
+        frontier.select("fetch_url", "priority"), seen, bloom, "fetch_url"
+    )
+    scheduled, _deferred = politeness_gate(
+        fresh, None, default_budget=100_000, salt_n=32
+    )
+    n_scheduled = scheduled.count()
+    wall = time.time() - t0
+    return {
+        "frontier_urls": n_urls,
+        "frontier_scheduled": n_scheduled,
+        "frontier_wall_sec": round(wall, 3),
+        "frontier_urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_urls = int(float(os.environ.get("BENCH_FRONTIER_URLS", "2000000")))
+    only_frontier = os.environ.get("BENCH_ONLY_FRONTIER") == "1"
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = catalog.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    if not only_frontier:
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            per_query[name] = round(dt, 3)
+            total += dt
+
+    fr = bench_frontier(spark, n_urls)
+    total += fr["frontier_wall_sec"]
+    per_query["frontier_schedule_dedupe"] = fr["frontier_wall_sec"]
+
+    out = {
+        "metric": "frontier URLs scheduled+deduped per second (north rule) "
+        "+ headline query suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        **fr,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

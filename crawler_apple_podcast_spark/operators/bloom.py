@@ -59,11 +59,23 @@ def build_bloom_shards(
     seen: DataFrame,
     key_col: str = "url",
     n_shards: int = 32,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 5,
+    expected_items: int | None = None,
+    bits_per_item: int = 12,
 ) -> BloomShards:
     """Distributed build: one Arrow group per shard -> bit array rows,
-    assembled (a few MB total) on the driver for broadcast."""
+    assembled (a few MB total) on the driver for broadcast.
+
+    Size the filter: pass ``expected_items`` (total seen-set size) to
+    auto-size ``m_bits`` to ``bits_per_item`` (12 -> ~0.5% fpp at k=5);
+    an oversized filter wastes broadcast bandwidth to every Python
+    worker, an undersized one just sends more rows to the exact
+    confirm join (never wrong, only slower).
+    """
+    if m_bits is None:
+        per_shard = max(1024, ((expected_items or 1_000_000) * bits_per_item) // n_shards)
+        m_bits = 1 << max(13, (per_shard - 1).bit_length())
     m = m_bits
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -93,28 +105,26 @@ def probe_bloom(
     df: DataFrame, bloom: BloomShards, key_col: str = "url", out_col: str = "maybe_seen"
 ) -> DataFrame:
     """Add ``out_col`` boolean; rows whose shard is absent are
-    definitely-new."""
+    definitely-new.
+
+    The shards are flattened into ONE contiguous bit buffer
+    (``global_bit = shard * m + local_pos``) so the probe is a single
+    vectorized gather per Arrow batch — no per-shard Python loop.
+    """
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        {s: np.frombuffer(b, dtype=np.uint8) for s, b in bloom.shards.items()}
-    )
     k, m, n_shards = bloom.k, bloom.m_bits, bloom.n_shards
+    flat = np.zeros(n_shards * (m // 8), dtype=np.uint8)
+    for s, b in bloom.shards.items():
+        flat[s * (m // 8) : (s + 1) * (m // 8)] = np.frombuffer(b, dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(flat)
 
     @F.pandas_udf("boolean")
     def _probe(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
-        shards = bc.value
-        out = np.zeros(len(h1), dtype=bool)
-        sh = shard.to_numpy()
-        h1n, h2n = h1.to_numpy(), h2.to_numpy()
-        for s in np.unique(sh):
-            arr = shards.get(int(s))
-            if arr is None:
-                continue
-            idx = np.nonzero(sh == s)[0]
-            pos = _positions(h1n[idx], h2n[idx], k, m)
-            hit = np.all(arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8) != 0, axis=1)
-            out[idx] = hit
-        return pd.Series(out)
+        arr = bc.value
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), k, m)
+        gpos = shard.to_numpy()[:, None].astype(np.int64) * m + pos
+        hit = np.all(arr[gpos >> 3] & (1 << (gpos & 7)).astype(np.uint8) != 0, axis=1)
+        return pd.Series(hit)
 
     hashed = _with_hashes(df, key_col).withColumn(
         "_shard", F.pmod(F.col("_h1"), F.lit(n_shards))
@@ -125,11 +135,18 @@ def probe_bloom(
 
 
 def bloom_gated_anti_join(
-    new: DataFrame, seen: DataFrame, bloom: BloomShards, key_col: str = "url"
+    new: DataFrame, seen: DataFrame, bloom: BloomShards, key_col: str = "url",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact anti-join accelerated by the Bloom gate: probe-negatives
-    bypass the shuffle entirely; probe-positives are confirmed exactly."""
+    bypass the shuffle entirely; probe-positives are confirmed exactly.
+
+    ``materialize`` persists the probed frame so the two union branches
+    (and any downstream consumer) run the probe UDF exactly once.
+    """
     probed = probe_bloom(new, bloom, key_col)
+    if materialize:
+        probed = probed.persist()
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(

@@ -1,0 +1,514 @@
+"""Driver-contract query catalog (SURVEY.md §2 operator inventory).
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables.  Naming convention ties each
+query to the operator-inventory id it demonstrates (``p1_…``, ``d1_…``,
+``o2_…`` — SURVEY.md §2), plus the training-data-pipeline operators
+(dedup / similarity / text analysis) that the engine adds beyond the
+reference.
+
+Design rules for exact cross-engine parity:
+- money is compared in integer *cents* (``CAST(ROUND(x*100) AS BIGINT)``),
+  ratios in integer per-mille — never raw double aggregates;
+- timestamps are compared as formatted strings;
+- every computed column is aliased identically on both sides;
+- approximate operators (MinHash-LSH) are *prune-only* with exact
+  confirmation, so their oracle is the exact computation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
+from .operators import similarity as S
+from .operators.skew import two_phase_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ------------------------------------------------------------------ scans
+
+@q("s1_seed_scan", "SELECT DISTINCT source FROM documents")
+def s1_seed_scan(spark, sf):
+    return _t(spark, sf, "documents").select("source").distinct()
+
+
+# ------------------------------------- projections / filters / scalar fns
+
+@q(
+    "p1_filter_project",
+    "SELECT event_id, user_id FROM events WHERE event_type = 'click' AND value > 50",
+)
+def p1_filter_project(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.where((F.col("event_type") == "click") & (F.col("value") > 50)).select(
+        "event_id", "user_id"
+    )
+
+
+@q(
+    "p2_json_extract",
+    "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,"
+    " count(*) AS cnt FROM events GROUP BY 1",
+)
+def p2_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    ).groupBy("k_val").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "p3_regexp_extract",
+    "SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS src_id,"
+    " count(*) AS n_docs FROM documents GROUP BY 1",
+)
+def p3_regexp_extract(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.regexp_extract("source", r"src([0-9]+)", 1).cast("long").alias("src_id")
+    ).groupBy("src_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@q(
+    "p6_conditional_rewrite",
+    "SELECT event_id, CASE WHEN event_type LIKE 'c%' THEN event_type"
+    " ELSE concat('x-', event_type) END AS tagged FROM events",
+)
+def p6_conditional_rewrite(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type").startswith("c"), F.col("event_type"))
+        .otherwise(F.concat(F.lit("x-"), F.col("event_type")))
+        .alias("tagged"),
+    )
+
+
+@q(
+    "p8_explode_tokens",
+    "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token"
+    " FROM documents) WHERE token <> '' GROUP BY token",
+)
+def p8_explode_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q(
+    "p10_time_bucket",
+    "SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket, count(*) AS cnt"
+    " FROM events GROUP BY 1",
+)
+def p10_time_bucket(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        F.date_format("ts", "yyyyMMddHH").alias("hour_bucket")
+    ).groupBy("hour_bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "p12_size_bands",
+    "SELECT n_chars // 100 AS band, count(*) AS cnt FROM documents GROUP BY 1",
+)
+def p12_size_bands(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        idiv(F.col("n_chars"), F.lit(100)).alias("band")
+    ).groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------- joins / dedupe
+
+@q(
+    "d1_two_key_anti_join",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_totalprice > 400000)"
+    " AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey"
+    "  AND n.n_regionkey = 0)",
+)
+def d1_two_key_anti_join(spark, sf):
+    """The reference's 2-key OR seen-probe (google_api.py:78): skip a
+    candidate matching EITHER key -> two chained left_anti joins."""
+    c = _t(spark, sf, "customer")
+    seen_url = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    seen_uid = (
+        _t(spark, sf, "nation")
+        .where(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("c_nationkey"))
+        .distinct()
+    )
+    return (
+        c.join(seen_url, "c_custkey", "left_anti")
+        .join(F.broadcast(seen_uid), "c_nationkey", "left_anti")
+        .select("c_custkey")
+    )
+
+
+@q(
+    "d2_semi_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def d2_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "d3_drop_duplicates",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def d3_drop_duplicates(spark, sf):
+    return _t(spark, sf, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@q(
+    "d4_fetch_join_counters",
+    "SELECT c_nationkey, count(*) AS n_orders,"
+    " sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents"
+    " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey",
+)
+def d4_fetch_join_counters(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    # frontier⨝pages shape: broadcast the small dim side
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------- aggregations
+
+@q(
+    "a1_wave_counts",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wave,"
+    " event_type, count(*) AS cnt FROM events GROUP BY 1, 2",
+)
+def a1_wave_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("wave"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "a2_success_fail_counters",
+    "SELECT event_type, count(*) AS total,"
+    " sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS fail_count,"
+    " sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS succ_count,"
+    " max(CAST(round(value * 100) AS BIGINT)) AS max_cents"
+    " FROM events GROUP BY event_type",
+)
+def a2_success_fail_counters(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).alias("fail_count"),
+        F.sum(F.when(F.col("value") >= 10, 1).otherwise(0)).alias("succ_count"),
+        F.max(cents(F.col("value"))).alias("max_cents"),
+    )
+
+
+@q(
+    "a2_skew_twophase_agg",
+    "SELECT event_type, count(*) AS cnt,"
+    " sum(CAST(round(value * 100) AS BIGINT)) AS value_cents"
+    " FROM events GROUP BY event_type",
+)
+def a2_skew_twophase_agg(spark, sf):
+    """Hot-key agg via explicit salted two-phase plan; result equals the
+    plain groupBy (oracle) exactly."""
+    e = _t(spark, sf, "events").withColumn("value_cents_src", cents(F.col("value")))
+    out = two_phase_agg(
+        e, ["event_type"], sum_cols={"value_cents_src": "value_cents"}, count_alias="cnt",
+        salt_expr=F.pmod(F.col("event_id"), F.lit(32)),
+    )
+    return out.select("event_type", "cnt", "value_cents")
+
+
+# ------------------------------------------------- ordering / windows
+
+@q(
+    "o1_order_parity_key",
+    "SELECT user_id, pos, event_id FROM (SELECT user_id, event_id,"
+    " row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos"
+    " FROM events) WHERE pos <= 3",
+)
+def o1_order_parity_key(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= 3)
+        .select("user_id", "pos", "event_id")
+    )
+
+
+@q(
+    "o2_result_window_limit",
+    "SELECT rnk, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents"
+    " FROM (SELECT o_orderkey, o_totalprice, row_number() OVER"
+    " (ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)"
+    " WHERE rnk > 10 AND rnk <= 50",
+)
+def o2_result_window_limit(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where((F.col("rnk") > 10) & (F.col("rnk") <= 50))
+        .select("rnk", "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents"))
+    )
+
+
+@q(
+    "politeness_budget_gate",
+    "SELECT event_type, event_id, rn FROM (SELECT event_type, event_id,"
+    " row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn"
+    " FROM events) g WHERE rn <= (ascii(substr(event_type, 1, 1)) % 4) + 1",
+)
+def politeness_budget_gate(spark, sf):
+    """Per-host budget gate shape: rank within host, keep within budget
+    (budget derived deterministically per host analog)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    budget = F.pmod(F.ascii(F.substring("event_type", 1, 1)), F.lit(4)) + 1
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= budget)
+        .select("event_type", "event_id", "rn")
+    )
+
+
+# ----------------------------------------------------- TPC-H style joins
+
+@q(
+    "tpch_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus,"
+    " sum(CAST(l_quantity AS BIGINT)) AS sum_qty,"
+    " sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,"
+    " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,"
+    " count(*) AS count_order FROM lineitem"
+    " WHERE l_shipdate <= TIMESTAMP '2001-09-02'"
+    " GROUP BY l_returnflag, l_linestatus",
+)
+def tpch_q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_top_orders",
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,"
+    " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'"
+    " GROUP BY o_orderkey, orderdate ORDER BY revenue_cents DESC, o_orderkey LIMIT 10",
+)
+def tpch_q3_top_orders(spark, sf):
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.col("revenue_cents").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------- dedup / similarity / text
+
+@q(
+    "dedup_exact_hash",
+    "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups"
+    " FROM documents GROUP BY md5(text)",
+)
+def dedup_exact_hash(spark, sf):
+    return S.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_SHINGLE_CTE = (
+    "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM toks WHERE len(tk) >= 3),"
+    " cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_cnt"
+    " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+    " GROUP BY 1, 2)"
+    " SELECT doc_a, doc_b, (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) AS jaccard_milli"
+    " FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
+    " WHERE (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) >= {thr}"
+)
+
+
+@q("dedup_ngram_jaccard", _SHINGLE_CTE.format(thr=500))
+def dedup_ngram_jaccard(spark, sf):
+    sh = S.shingle_rows(_t(spark, sf, "documents"), "doc_id", "text", 3)
+    return S.jaccard_pairs(sh, 500)
+
+
+@q("dedup_minhash_lsh", _SHINGLE_CTE.format(thr=500))
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH prune, exact confirm — oracle is the exact all-pairs
+    computation (LSH recall at these parameters is total on this data)."""
+    return S.minhash_dedup_pairs(_t(spark, sf, "documents"), "doc_id", "text", 3, 500)
+
+
+@q("dedup_simhash", None)  # xxhash64 not expressible in the oracle: rows-only check
+def dedup_simhash(spark, sf):
+    sims = S.simhash(_t(spark, sf, "documents"), "doc_id", "text")
+    return S.simhash_near_pairs(sims, max_hamming=7, chunks=8)
+
+
+@q(
+    "ann_cosine_topk",
+    "SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cosine"
+    " FROM embeddings e CROSS JOIN (SELECT embedding AS qe FROM embeddings"
+    " WHERE vec_id = 0) q ORDER BY cosine DESC, e.vec_id LIMIT 10",
+)
+def ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    query = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return S.cosine_topk_bruteforce(emb, query, k=10)
+
+
+@q("ann_lsh_bucketed", None)  # hyperplane LSH not expressible in SQL: rows-only
+def ann_lsh_bucketed(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    query = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return S.cosine_topk_lsh(emb, query, k=10, n_planes=6)
+
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+@q(
+    "text_stats",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk,"
+    " text FROM documents)"
+    " SELECT doc_id, len(tk)::BIGINT AS n_tokens,"
+    f" len(list_filter(tk, x -> x IN {_STOP_SQL}))::BIGINT AS n_stop,"
+    f" (len(list_filter(tk, x -> x IN {_STOP_SQL})) * 1000) // len(tk) AS stop_milli,"
+    f" CASE WHEN (len(list_filter(tk, x -> x IN {_STOP_SQL})) * 1000) // len(tk) >= 30"
+    " THEN 'en' ELSE 'other' END AS lang_pred,"
+    " len(regexp_extract_all(text, '[A-Za-z0-9'']+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe"
+    " FROM t",
+)
+def text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+        T.stopword_count(F.col("text")).alias("n_stop"),
+        T.stopword_ratio_milli(F.col("text")).alias("stop_milli"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents)"
+    " SELECT doc_id, COALESCE(list_sum(list_transform(tk,"
+    f" (x, i) -> i * (ascii(x) + 31 * length(x)))), 0) % {FINGERPRINT_MOD} AS fp"
+    " FROM t",
+)
+def text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "text_quality_score",
+    "WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents), c AS (SELECT doc_id,"
+    f" (len(list_filter(tk, x -> x IN {_STOP_SQL})) * 1000) // len(tk) AS stop_m,"
+    " (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000) // length(text) AS alpha_m,"
+    " CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1000 ELSE 200 END AS len_m FROM t)"
+    " SELECT doc_id, (stop_m + alpha_m + len_m) // 3 AS quality_milli FROM c",
+)
+def text_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.quality_score_milli(F.col("text")).alias("quality_milli"))
+
+
+# ------------------------------------------------------------- accessors
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

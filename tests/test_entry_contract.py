@@ -1,0 +1,60 @@
+"""Driver-contract smoke: entry() runs with rows>0 and a stable schema;
+a representative subset of queries() matches oracle_sql() via DuckDB at
+sf0.001 (the full sweep at sf0.01 runs in scripts/check_contract.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from scripts.check_contract import TABLES, rows_multiset
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "p1_filter_project",
+    "d1_two_key_anti_join",
+    "a2_skew_twophase_agg",
+    "o1_order_parity_key",
+    "politeness_budget_gate",
+    "tpch_q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["host", "scheduled", "top_priority"]
+
+
+def test_every_query_has_callable_and_alias_consistency():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    # only hash-based ops may omit the oracle
+    assert set(qs) - set(oracles) == {"dedup_simhash", "ann_lsh_bucketed"}
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    df = entrymod.queries()[name](spark, SF)
+    srows = [tuple(r) for r in df.collect()]
+    res = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(df.columns) == sorted(dcols)
+    assert rows_multiset(df.columns, srows) == rows_multiset(dcols, drows)
