@@ -42,11 +42,17 @@ class BloomShards:
 
 
 def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
-    """(n, k) probe positions via double hashing, vectorized uint64."""
+    """(n, k) probe positions via double hashing, vectorized uint64.
+
+    ``m`` is always a power of two (build_bloom_shards guarantees it),
+    so the reduction is a bitwise AND — uint64 modulo is an order of
+    magnitude slower in numpy and this sits on the per-URL hot path.
+    """
+    assert m & (m - 1) == 0, "bloom m_bits must be a power of two"
     h1u = h1.astype(np.uint64)
     h2u = h2.astype(np.uint64) | np.uint64(1)  # odd step
     i = np.arange(k, dtype=np.uint64)[None, :]
-    return ((h1u[:, None] + i * h2u[:, None]) % np.uint64(m)).astype(np.int64)
+    return ((h1u[:, None] + i * h2u[:, None]) & np.uint64(m - 1)).astype(np.int64)
 
 
 def _with_hashes(df: DataFrame, key_col: str) -> DataFrame:
@@ -76,7 +82,7 @@ def build_bloom_shards(
     if m_bits is None:
         per_shard = max(1024, ((expected_items or 1_000_000) * bits_per_item) // n_shards)
         m_bits = 1 << max(13, (per_shard - 1).bit_length())
-    m = m_bits
+    m = 1 << (m_bits - 1).bit_length()  # power of two: probe uses AND, not mod
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m)

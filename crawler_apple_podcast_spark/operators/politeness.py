@@ -7,11 +7,23 @@ with crawl-delay d and a wave lasting W seconds, a host may receive at
 most ``max(1, W // d)`` fetches per wave.  Crawl-delays come from the
 corpus' own ``robots.txt`` rows (broadcast as a tiny dim table).
 
-Scale note: ranking "top-B per host" with a single window over ``host``
-puts the whole ``amp-api.podcasts.apple.com`` skew bucket in one task.
-We therefore rank in two phases — a salted partial top-B within
-``(host, salt)`` prunes to ``salt_n * B`` rows per host before the
-exact per-host rank — the classic distributed top-k trick.
+Scale note: ranking "top-B per host" with a window over ``host`` puts
+the whole ``amp-api.podcasts.apple.com`` skew bucket in ONE task — at
+the 10^10-URL target that single sorted partition is the job.  The
+gate instead computes the exact per-host rank with a *parallel* sort:
+
+1. ``repartitionByRange(host, priority, hash, url)`` — Spark's
+   sampled range exchange + per-partition sort, fully parallel; the
+   hot host spans MANY consecutive partitions instead of one task.
+2. ``monotonically_increasing_id()`` after the sort is
+   ``(partition_id << 33) + local_row_index`` — a JVM-side,
+   order-stable partition-local index for free (no Python boundary,
+   no second window).
+3. Per-partition counts (tiny, one row per partition) turn the local
+   index into a global sort position; ``min(position) per host``
+   (a parallel agg) turns that into the exact per-host rank.
+
+``deferred`` falls out as ``rank > budget`` — no anti-join needed.
 """
 
 from __future__ import annotations
@@ -20,6 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import host_of, url_hash
+
+_MID_BITS = 33  # monotonically_increasing_id: (pid << 33) + local index
 
 
 def parse_robots(pages: DataFrame) -> DataFrame:
@@ -59,27 +73,72 @@ def host_budgets(robots: DataFrame, wave_seconds: int, default_delay: int = 5) -
     )
 
 
+def parallel_host_rank(
+    df: DataFrame,
+    host_col: str,
+    order_cols: list,
+    out_col: str = "_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based rank of each row within its ``host_col`` group by
+    ``order_cols``, computed with a parallel range sort — no per-group
+    single-task window, so a group holding 90% of all rows (the
+    apple.com skew bucket) still ranks at full cluster parallelism.
+
+    The returned frame is range-sorted; ties beyond ``order_cols`` get
+    an arbitrary but stable-within-run order (callers include a unique
+    key, e.g. the url, for full determinism).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    keys = [F.col(host_col), *order_cols]
+    s = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
+    # (pid << 33) + local index, assigned AFTER the sort, JVM-side.
+    s = s.withColumn("_mid", F.monotonically_increasing_id())
+    s = s.withColumn("_pid", F.shiftright("_mid", _MID_BITS).cast("int")).withColumn(
+        "_lidx", F.col("_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1))
+    )
+    s = s.persist()
+
+    # One row per partition -> cumulative start offset of each partition.
+    pid_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    pid_offsets = (
+        s.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_pstart", F.coalesce(F.sum("_cnt").over(pid_w), F.lit(0)))
+        .drop("_cnt")
+    )
+    g = s.join(F.broadcast(pid_offsets), "_pid").withColumn(
+        "_gpos", F.col("_pstart") + F.col("_lidx")
+    )
+    # Global sort position of the first row of each host (parallel agg;
+    # broadcast when the host dim is small, AQE decides otherwise).
+    host_starts = g.groupBy(host_col).agg(F.min("_gpos").alias("_hstart"))
+    ranked = g.join(host_starts, host_col).withColumn(
+        out_col, (F.col("_gpos") - F.col("_hstart") + 1).cast("int")
+    )
+    return ranked.drop("_mid", "_pid", "_lidx", "_pstart", "_gpos", "_hstart")
+
+
 def politeness_gate(
     frontier: DataFrame,
     budgets: DataFrame | None,
     default_budget: int = 1_000_000_000,
     url_col: str = "fetch_url",
     priority_col: str = "priority",
-    salt_n: int = 16,
+    salt_n: int = 16,  # kept for API compat; parallel rank needs no salt
     key_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (scheduled, deferred) for this wave.
 
-    Deterministic order within a host: ``(priority, url_hash, url,
-    *key_cols)``.  ``key_cols`` identifies a frontier row (default
-    ``[url_col, priority_col]``); deferred rows keep all original
-    columns and should be unioned into the next wave's frontier.
+    Deterministic order within a host: ``(priority, url_hash, url)``.
+    Both outputs keep all original frontier columns; deferred rows
+    should be unioned into the next wave's frontier.
     """
-    key_cols = key_cols or [url_col, priority_col]
-    f = (
-        frontier.withColumn("_host", host_of(F.col(url_col)))
-        .withColumn("_uh", url_hash(F.col(url_col)))
-        .withColumn("_salt", F.pmod(F.col("_uh"), F.lit(salt_n)))
+    f = frontier.withColumn("_host", host_of(F.col(url_col))).withColumn(
+        "_uh", url_hash(F.col(url_col))
     )
     if budgets is not None:
         f = f.join(F.broadcast(budgets), f["_host"] == budgets["host"], "left").drop("host")
@@ -87,19 +146,10 @@ def politeness_gate(
     else:
         f = f.withColumn("_budget", F.lit(default_budget))
 
-    order = [F.col(priority_col), F.col("_uh"), F.col(url_col)] + [
-        F.col(c) for c in key_cols if c not in (url_col, priority_col)
-    ]
-    w_salted = Window.partitionBy("_host", "_salt").orderBy(*order)
-    w_host = Window.partitionBy("_host").orderBy(*order)
+    order = [F.col(priority_col), F.col("_uh"), F.col(url_col)]
+    ranked = parallel_host_rank(f, "_host", order)
 
-    pruned = f.withColumn("_rn1", F.row_number().over(w_salted)).where(
-        F.col("_rn1") <= F.col("_budget")
-    )
-    ranked = pruned.withColumn("_rn", F.row_number().over(w_host))
-    helper = ["_host", "_uh", "_salt", "_budget", "_rn1", "_rn"]
+    helper = ["_host", "_uh", "_budget", "_rn"]
     scheduled = ranked.where(F.col("_rn") <= F.col("_budget")).drop(*helper)
-
-    # deferred = frontier minus scheduled (includes phase-1-pruned rows)
-    deferred = frontier.join(scheduled.select(*key_cols), key_cols, "left_anti")
+    deferred = ranked.where(F.col("_rn") > F.col("_budget")).drop(*helper)
     return scheduled, deferred
