@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
+from .operators import multimodal as MM
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
 
@@ -502,6 +503,94 @@ def text_fingerprint(spark, sf):
 def text_quality_score(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", T.quality_score_milli(F.col("text")).alias("quality_milli"))
+
+
+# ----------------------------------------------------------- multimodal
+# Media = opaque BINARY blobs + typed metadata (operators/multimodal.py).
+# The synthetic blob is the document's UTF-8 bytes and the corpus is
+# ASCII, so every byte-level quantity is reproducible in the oracle via
+# char arithmetic.
+
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@q(
+    "mm_media_meta",
+    f"SELECT doc_id AS media_id, {_KIND_SQL} AS kind,"
+    f" 'x-fake/' || {_KIND_SQL} AS mime,"
+    " length(text) AS n_bytes,"
+    " (doc_id % 640 + 1) AS declared_w, (doc_id % 480 + 1) AS declared_h"
+    " FROM documents",
+)
+def mm_media_meta(spark, sf):
+    m = MM.synth_media(_t(spark, sf, "documents"))
+    return m.select(
+        "media_id", "kind", "mime",
+        F.length("blob").alias("n_bytes"), "declared_w", "declared_h",
+    )
+
+
+@q(
+    "mm_decode_fake",
+    f"SELECT doc_id AS media_id, {_KIND_SQL} AS kind,"
+    " (doc_id % 640 + 1) AS width, (doc_id % 480 + 1) AS height,"
+    " length(text) AS n_bytes,"
+    " COALESCE(ascii(substring(text, 1, 1)), 0) AS first_byte,"
+    " COALESCE(list_aggregate(list_transform(string_split(text, ''),"
+    "   x -> ascii(x)), 'sum'), 0) AS byte_sum"
+    " FROM documents",
+)
+def mm_decode_fake(spark, sf):
+    return MM.decode_media(MM.synth_media(_t(spark, sf, "documents")), codec="fake")
+
+
+@q(
+    "mm_frame_sample",
+    "WITH v AS (SELECT doc_id AS media_id, text FROM documents"
+    " WHERE doc_id % 3 = 2 AND length(text) >= 64),"
+    " f AS (SELECT media_id, text,"
+    "  unnest(range(0, length(text) // 64, 4)) AS frame_no FROM v)"
+    " SELECT media_id, frame_no,"
+    " md5(substring(text, (frame_no * 64 + 1)::INT, 64)) AS frame_md5 FROM f",
+)
+def mm_frame_sample(spark, sf):
+    m = MM.synth_media(_t(spark, sf, "documents"))
+    return MM.sample_frames(m, frame_bytes=64, every_n=4)
+
+
+@q(
+    "mm_byte_histogram",
+    "WITH c AS (SELECT doc_id AS media_id,"
+    " list_transform(string_split(text, ''), x -> ascii(x)) AS codes"
+    " FROM documents)"
+    " SELECT media_id, "
+    + ", ".join(
+        f"len(list_filter(codes, x -> x // 32 = {i}))::BIGINT AS b{i}"
+        for i in range(8)
+    )
+    + " FROM c",
+)
+def mm_byte_histogram(spark, sf):
+    h = MM.byte_histogram(MM.synth_media(_t(spark, sf, "documents")), bins=8)
+    return h.select(
+        "media_id", *[F.element_at("hist", i + 1).alias(f"b{i}") for i in range(8)]
+    )
+
+
+@q(
+    "mm_resize_checksum",
+    # corpus min length (48) exceeds the 32-byte target, so the cycled
+    # fake resize reduces to a truncation — md5(first 32 chars).
+    "SELECT doc_id AS media_id, 32 AS n_bytes,"
+    " md5(substring(text, 1, 32)) AS blob_md5 FROM documents",
+)
+def mm_resize_checksum(spark, sf):
+    r = MM.resize_media(MM.synth_media(_t(spark, sf, "documents")), out_w=8, out_h=4)
+    return r.select(
+        "media_id", F.length("blob").alias("n_bytes"), F.md5("blob").alias("blob_md5")
+    )
 
 
 # ------------------------------------------------------------- accessors

@@ -36,9 +36,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # local-mode driver == the one executor; the 1g default heap falls
+    # over at local[32] working sets (only effective at JVM launch).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime coalescing, skew-join splitting, runtime re-plan.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,115 @@
+"""Multimodal binary-column operators (operators/multimodal.py).
+
+The decode kernels are deterministic fakes (no codec libs in the
+container); these tests pin the REAL parts — schema, Arrow plumbing,
+byte math, frame-sampling fan-out — and the stub contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a" * 48, "en", "s", 48),
+            (1, "b" * 100, "en", "s", 100),
+            (2, "c" * 300, "en", "s", 300),   # video kind, 4 frames of 64
+            (5, "hello world " * 12, "en", "s", 144),  # video kind
+            (3, "short text here padded out to fortyeight", "en", "s", 41),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    return MM.synth_media(docs)
+
+
+def test_synth_media_schema_and_kinds(media):
+    assert set(media.columns) == {
+        "media_id", "kind", "mime", "blob", "declared_w", "declared_h", "sample_rate"
+    }
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["kind"] == "image" and rows[1]["kind"] == "audio"
+    assert rows[2]["kind"] == "video" and rows[5]["kind"] == "video"
+    assert bytes(rows[1]["blob"]) == b"b" * 100
+    assert rows[0]["mime"] == "x-fake/image"
+
+
+def test_decode_fake_byte_math(media):
+    out = {r["media_id"]: r for r in MM.decode_media(media, codec="fake").collect()}
+    assert out[1]["n_bytes"] == 100
+    assert out[1]["first_byte"] == ord("b")
+    assert out[1]["byte_sum"] == 100 * ord("b")
+    assert out[0]["width"] == 1 and out[0]["height"] == 1  # doc_id 0
+
+
+def test_decode_real_codec_raises(media):
+    with pytest.raises(Exception) as ei:
+        MM.decode_media(media, codec="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_decode_unknown_codec_rejected(media):
+    with pytest.raises(ValueError):
+        MM.decode_media(media, codec="png")
+
+
+def test_resize_cycles_and_truncates(media):
+    out = {r["media_id"]: bytes(r["blob"]) for r in
+           MM.resize_media(media, out_w=10, out_h=6).collect()}
+    assert all(len(b) == 60 for b in out.values())
+    assert out[0] == b"a" * 48 + b"a" * 12          # cycled up
+    assert out[1] == b"b" * 60                      # truncated down
+
+
+def test_frame_sample_native_plan_and_counts(media):
+    frames = MM.sample_frames(media, frame_bytes=64, every_n=4)
+    # fan-out must stay JVM-side: no Python/Arrow eval in the plan
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    got = frames.collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # only video kind (doc_id % 3 == 2): ids 2 (300B -> 4 frames) and 5
+    assert set(by_id) == {2, 5}
+    # 300 // 64 = 4 frames, every 4th -> frame_no {0}
+    assert sorted(r["frame_no"] for r in by_id[2]) == [0]
+    md5 = hashlib.md5(b"c" * 64).hexdigest()
+    assert by_id[2][0]["frame_md5"] == md5
+
+
+def test_frame_sample_every_frame(media):
+    frames = MM.sample_frames(media, frame_bytes=64, every_n=1)
+    n2 = [r for r in frames.collect() if r["media_id"] == 2]
+    assert sorted(r["frame_no"] for r in n2) == [0, 1, 2, 3]
+    # last full frame only — 300 = 4*64 + 44, partial tail dropped
+    tail_md5 = hashlib.md5(b"c" * 64).hexdigest()
+    assert all(r["frame_md5"] == tail_md5 for r in n2)
+
+
+def test_byte_histogram_sums_to_length(media):
+    out = {r["media_id"]: r["hist"] for r in MM.byte_histogram(media, bins=16).collect()}
+    assert sum(out[1]) == 100
+    assert out[1][ord("b") // 16] == 100
+    assert len(out[0]) == 16
+
+
+def test_histogram_batch_shape_multi_partition(spark):
+    # plumbing survives many partitions + empty partitions
+    docs = spark.createDataFrame(
+        [(i, "z" * (i + 1), "en", "s", i + 1) for i in range(20)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).repartition(16)
+    m = MM.synth_media(docs)
+    got = MM.byte_histogram(m, bins=8).collect()
+    assert len(got) == 20
+    assert all(sum(r["hist"]) == r["media_id"] + 1 for r in got)
