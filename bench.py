@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from crawler_apple_podcast_spark.functions.urls import canonicalize_url
 from crawler_apple_podcast_spark.operators.bloom import build_bloom_shards, bloom_gated_anti_join
 from crawler_apple_podcast_spark.operators.politeness import politeness_gate
 from crawler_apple_podcast_spark.session import get_spark
@@ -75,36 +76,51 @@ def warmup(spark, sf_dir: str) -> None:
 
 
 def synth_frontier(spark, n: int):
-    """Skewed URL corpus: 90% on the hot apple host (the reference's
-    corpus shape), remainder over 1000 hosts."""
+    """Skewed RAW URL corpus: 90% on the hot apple host (the
+    reference's corpus shape), remainder over 1000 hosts.  URLs carry
+    an unsorted query string, an explicit default port, and a fragment
+    so the canonicalization stage (north_star: seen-keys are
+    canonicalized+hashed) has real work to do."""
     base = spark.range(n)
     host = F.when(
         F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("amp-api.podcasts.apple.com")
     ).otherwise(F.concat(F.lit("h"), F.pmod(F.col("id"), F.lit(1000)).cast("string"), F.lit(".example")))
+    raw = F.concat(
+        F.lit("https://"), host, F.lit(":443/p/"), F.col("id").cast("string"),
+        F.lit("?offset="), F.pmod(F.col("id"), F.lit(97)).cast("string"),
+        F.lit("&l=en-US#frag"),
+    )
     return base.select(
-        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id").cast("string")).alias("fetch_url"),
+        raw.alias("raw_url"),
         F.pmod(F.col("id"), F.lit(5)).cast("int").alias("priority"),
         F.col("id"),
     )
 
 
 def bench_frontier(spark, n_urls: int) -> dict:
-    """North-rule metric: URLs scheduled+deduped per second."""
+    """North-rule metric: URLs canonicalized+scheduled+deduped per
+    second (canonicalization is part of the seen-key contract)."""
     frontier = synth_frontier(spark, n_urls)
-    seen = frontier.where(F.pmod(F.col("id"), F.lit(2)) == 0).select("fetch_url")
+    cand = frontier.select(
+        canonicalize_url(F.col("raw_url")).alias("fetch_url"), "priority", "id"
+    )
+    seen = cand.where(F.pmod(F.col("id"), F.lit(2)) == 0).select("fetch_url")
 
     t0 = time.time()
     bloom = build_bloom_shards(
         seen, "fetch_url", n_shards=64, k=5, expected_items=n_urls // 2
     )
     fresh = bloom_gated_anti_join(
-        frontier.select("fetch_url", "priority"), seen, bloom, "fetch_url"
+        cand.select("fetch_url", "priority"), seen, bloom, "fetch_url"
     )
     scheduled, _deferred = politeness_gate(
         fresh, None, default_budget=100_000, salt_n=32
     )
     n_scheduled = scheduled.count()
     wall = time.time() - t0
+    # Steady-state semantics: a real wave loop unpersists the previous
+    # wave's frames; without this, repeated runs churn storage memory.
+    spark.catalog.clearCache()
     return {
         "frontier_urls": n_urls,
         "frontier_scheduled": n_scheduled,
@@ -119,10 +135,15 @@ def main() -> None:
     n_urls = int(float(os.environ.get("BENCH_FRONTIER_URLS", "2000000")))
     only_frontier = os.environ.get("BENCH_ONLY_FRONTIER") == "1"
 
+    # Partition count is sized to the DATA, not the core count — on a
+    # real cluster the same job at N and 4N executors runs the same
+    # partitioning.  Comparing 16 vs 64 partitions on the same input
+    # makes the small config spill and fakes super-linear scaling.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(int(cpus) * 2)))
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) * 2,
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, sf_dir)

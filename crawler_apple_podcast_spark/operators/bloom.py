@@ -79,6 +79,7 @@ def build_bloom_shards(
     worker, an undersized one just sends more rows to the exact
     confirm join (never wrong, only slower).
     """
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     if m_bits is None:
         per_shard = max(1024, ((expected_items or 1_000_000) * bits_per_item) // n_shards)
         m_bits = 1 << max(13, (per_shard - 1).bit_length())
@@ -119,25 +120,27 @@ def probe_bloom(
     """
     spark = df.sparkSession
     k, m, n_shards = bloom.k, bloom.m_bits, bloom.n_shards
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     flat = np.zeros(n_shards * (m // 8), dtype=np.uint8)
     for s, b in bloom.shards.items():
         flat[s * (m // 8) : (s + 1) * (m // 8)] = np.frombuffer(b, dtype=np.uint8)
     bc = spark.sparkContext.broadcast(flat)
 
     @F.pandas_udf("boolean")
-    def _probe(h1: pd.Series, h2: pd.Series, shard: pd.Series) -> pd.Series:
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
         arr = bc.value
-        pos = _positions(h1.to_numpy(), h2.to_numpy(), k, m)
-        gpos = shard.to_numpy()[:, None].astype(np.int64) * m + pos
+        h1np = h1.to_numpy()
+        # shard = pmod(h1, n_shards); for power-of-two n the two's-
+        # complement AND gives the same non-negative residue, saving a
+        # column of Arrow traffic per probed row.
+        shard = (h1np & (n_shards - 1)).astype(np.int64)
+        pos = _positions(h1np, h2.to_numpy(), k, m)
+        gpos = shard[:, None] * m + pos
         hit = np.all(arr[gpos >> 3] & (1 << (gpos & 7)).astype(np.uint8) != 0, axis=1)
         return pd.Series(hit)
 
-    hashed = _with_hashes(df, key_col).withColumn(
-        "_shard", F.pmod(F.col("_h1"), F.lit(n_shards))
-    )
-    return hashed.withColumn(out_col, _probe("_h1", "_h2", "_shard")).drop(
-        "_h1", "_h2", "_shard"
-    )
+    hashed = _with_hashes(df, key_col)
+    return hashed.withColumn(out_col, _probe("_h1", "_h2")).drop("_h1", "_h2")
 
 
 def bloom_gated_anti_join(

@@ -35,6 +35,17 @@ from ..functions.urls import host_of, url_hash
 
 _MID_BITS = 33  # monotonically_increasing_id: (pid << 33) + local index
 
+# Persisted intermediates of parallel_host_rank, kept so long-running
+# callers (the wave loop) can release them once the wave's outputs are
+# materialized — otherwise every wave leaks one cached frame.
+_rank_cache: list[DataFrame] = []
+
+
+def release_rank_cache() -> None:
+    """Unpersist all rank intermediates persisted since the last call."""
+    while _rank_cache:
+        _rank_cache.pop().unpersist()
+
 
 def parse_robots(pages: DataFrame) -> DataFrame:
     """robots.txt rows -> ``(host, crawl_delay, disallow)`` dim table."""
@@ -94,32 +105,50 @@ def parallel_host_rank(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     keys = [F.col(host_col), *order_cols]
-    s = df.repartitionByRange(num_partitions, *keys).sortWithinPartitions(*keys)
-    # (pid << 33) + local index, assigned AFTER the sort, JVM-side.
-    s = s.withColumn("_mid", F.monotonically_increasing_id())
-    s = s.withColumn("_pid", F.shiftright("_mid", _MID_BITS).cast("int")).withColumn(
-        "_lidx", F.col("_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1))
+    s = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        # (pid << 33) + local index, assigned AFTER the sort, JVM-side.
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", _MID_BITS).cast("int"))
+        .withColumn("_lidx", F.col("_mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)))
+        .drop("_mid")
+        .persist()
     )
-    s = s.persist()
+    _rank_cache.append(s)
 
-    # One row per partition -> cumulative start offset of each partition.
+    # ONE aggregate over the big frame; everything else happens on the
+    # tiny (pid, host) stats frame (<= partitions + hosts rows):
+    #   pstart[pid]      cumulative row count of earlier partitions
+    #   gstart(pid,host) global position of the host's first row in pid
+    #   hstart[host]     global position of the host's first row overall
+    #   delta(pid,host)  pstart - hstart  ->  rank = lidx + delta + 1
+    stats = s.groupBy("_pid", host_col).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_lidx").alias("_flidx")
+    )
     pid_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     pid_offsets = (
-        s.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn("_pstart", F.coalesce(F.sum("_cnt").over(pid_w), F.lit(0)))
-        .drop("_cnt")
+        stats.groupBy("_pid")
+        .agg(F.sum("_cnt").alias("_pcnt"))
+        .withColumn("_pstart", F.coalesce(F.sum("_pcnt").over(pid_w), F.lit(0)))
+        .drop("_pcnt")
     )
-    g = s.join(F.broadcast(pid_offsets), "_pid").withColumn(
-        "_gpos", F.col("_pstart") + F.col("_lidx")
+    st = stats.join(pid_offsets, "_pid").withColumn(
+        "_gstart", F.col("_pstart") + F.col("_flidx")
     )
-    # Global sort position of the first row of each host (parallel agg;
-    # broadcast when the host dim is small, AQE decides otherwise).
-    host_starts = g.groupBy(host_col).agg(F.min("_gpos").alias("_hstart"))
-    ranked = g.join(host_starts, host_col).withColumn(
-        out_col, (F.col("_gpos") - F.col("_hstart") + 1).cast("int")
+    st = st.withColumn(
+        "_hstart", F.min("_gstart").over(Window.partitionBy(host_col))
     )
-    return ranked.drop("_mid", "_pid", "_lidx", "_pstart", "_gpos", "_hstart")
+    deltas = st.select(
+        "_pid", host_col, (F.col("_pstart") - F.col("_hstart")).alias("_delta")
+    )
+
+    # Broadcast join preserves the range partitioning — no extra
+    # shuffle of the big frame.
+    ranked = s.join(F.broadcast(deltas), ["_pid", host_col]).withColumn(
+        out_col, (F.col("_lidx") + F.col("_delta") + 1).cast("int")
+    )
+    return ranked.drop("_pid", "_lidx", "_delta")
 
 
 def politeness_gate(

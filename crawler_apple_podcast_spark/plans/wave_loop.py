@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from ..functions import episodes as E
 from ..functions import urls as U
-from ..operators.politeness import filter_disallowed, host_budgets, parse_robots, politeness_gate
+from ..operators.politeness import (
+    filter_disallowed,
+    host_budgets,
+    parse_robots,
+    politeness_gate,
+    release_rank_cache,
+)
 from .snapshots import SnapshotStore
 
 EPISODES_COLS = [
@@ -212,6 +218,9 @@ def run_crawl(
         episodes_parts.append(eps)
         metrics_parts.append(metrics)
         fetchlog_parts.append(fetch_log)
+        # wave outputs are materialized (checkpoint or snapshot) — the
+        # politeness gate's cached rank intermediates can go.
+        release_rank_cache()
         wave += 1
 
     def _union(parts: list[DataFrame], schema: str) -> DataFrame:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .functions import urls as U
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
 from .operators import multimodal as MM
 from .operators import similarity as S
@@ -110,6 +111,83 @@ def p6_conditional_rewrite(spark, sf):
         .otherwise(F.concat(F.lit("x-"), F.col("event_type")))
         .alias("tagged"),
     )
+
+
+@q(
+    "p4_show_user_id",
+    # ParseApplePodcastUserId (reference handler/google_api.py:106-116):
+    # digits after a trailing '/id', else ''.
+    "WITH u AS (SELECT event_id,"
+    " CASE WHEN event_id % 4 = 0 THEN 'https://podcasts.apple.com/us/podcast/x/id' || event_id"
+    "      WHEN event_id % 4 = 1 THEN 'https://podcasts.apple.com/us/podcast/x/id' || event_id || '?i=9'"
+    "      WHEN event_id % 4 = 2 THEN 'https://podcasts.apple.com/us/podcast/idless'"
+    "      ELSE 'https://podcasts.apple.com/us/podcast/x/idABC' END AS url FROM events)"
+    " SELECT event_id, regexp_extract(url, '/id([0-9]+)$', 1) AS user_id FROM u",
+)
+def p4_show_user_id(spark, sf):
+    e = _t(spark, sf, "events")
+    url = (
+        F.when(F.pmod("event_id", F.lit(4)) == 0,
+               F.concat(F.lit("https://podcasts.apple.com/us/podcast/x/id"), F.col("event_id").cast("string")))
+        .when(F.pmod("event_id", F.lit(4)) == 1,
+              F.concat(F.lit("https://podcasts.apple.com/us/podcast/x/id"), F.col("event_id").cast("string"), F.lit("?i=9")))
+        .when(F.pmod("event_id", F.lit(4)) == 2, F.lit("https://podcasts.apple.com/us/podcast/idless"))
+        .otherwise(F.lit("https://podcasts.apple.com/us/podcast/x/idABC"))
+    )
+    return e.select("event_id", U.show_user_id(url).alias("user_id"))
+
+
+@q(
+    "p5_cursor_validate",
+    # GetNextUrl + absolutize (reference apple_podcast_api.py:56-57,
+    # 74-83): missing/invalid next -> '', relative -> API-base prefix.
+    "WITH c AS (SELECT event_id,"
+    " CASE WHEN event_id % 3 = 0 THEN '/v1/catalog/us/podcasts/' || event_id || '/episodes?offset=10'"
+    "      WHEN event_id % 3 = 1 THEN 'https://amp-api.podcasts.apple.com/v1/x/' || event_id"
+    "      ELSE '' END AS next_raw FROM events),"
+    " v AS (SELECT event_id, CASE WHEN regexp_matches(next_raw, '^(https?://|/)')"
+    "   THEN next_raw ELSE '' END AS valid FROM c)"
+    " SELECT event_id, valid AS next_url,"
+    " CASE WHEN valid LIKE 'http%' THEN valid"
+    "      ELSE 'https://amp-api.podcasts.apple.com' || valid END AS absolute_url FROM v",
+)
+def p5_cursor_validate(spark, sf):
+    e = _t(spark, sf, "events")
+    raw = (
+        F.when(F.pmod("event_id", F.lit(3)) == 0,
+               F.concat(F.lit("/v1/catalog/us/podcasts/"), F.col("event_id").cast("string"), F.lit("/episodes?offset=10")))
+        .when(F.pmod("event_id", F.lit(3)) == 1,
+              F.concat(F.lit("https://amp-api.podcasts.apple.com/v1/x/"), F.col("event_id").cast("string")))
+        .otherwise(F.lit(""))
+    )
+    valid = U.validate_next(raw)
+    return e.select(
+        "event_id",
+        valid.alias("next_url"),
+        U.absolutize_next(valid).alias("absolute_url"),
+    )
+
+
+@q(
+    "url_canonicalize",
+    # canonicalize_url: lowercase scheme+host, strip default port and
+    # fragment, sort query params (north_rule seen-key contract).
+    "WITH u AS (SELECT event_id,"
+    " 'HTTPS://Host' || (user_id % 20) || '.Example:443/p/' || event_id"
+    " || '?z=' || (event_id % 7) || '&a=1#frag' AS raw FROM events)"
+    " SELECT event_id, 'https://host' || (user_id % 20) || '.example/p/' || event_id"
+    " || '?' || array_to_string(list_sort(['z=' || (event_id % 7), 'a=1']), '&') AS canon"
+    " FROM u JOIN events USING (event_id)",
+)
+def url_canonicalize(spark, sf):
+    e = _t(spark, sf, "events")
+    raw = F.concat(
+        F.lit("HTTPS://Host"), F.pmod("user_id", F.lit(20)).cast("string"),
+        F.lit(".Example:443/p/"), F.col("event_id").cast("string"),
+        F.lit("?z="), F.pmod("event_id", F.lit(7)).cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    return e.select("event_id", U.canonicalize_url(raw).alias("canon"))
 
 
 @q(
@@ -503,6 +581,36 @@ def text_fingerprint(spark, sf):
 def text_quality_score(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", T.quality_score_milli(F.col("text")).alias("quality_milli"))
+
+
+# ------------------------------------------------------------ streaming
+# The streaming front-end's windowed per-host metric, driven as a batch
+# query (same plan Structured Streaming runs incrementally).
+
+
+@q(
+    "stream_host_rate_metrics",
+    "WITH c AS (SELECT 'https://host' || (user_id % 20) || '.example/e/' || event_id AS url,"
+    " (event_id % 3)::INT AS priority, ts FROM events)"
+    " SELECT date_trunc('minute', ts) AS window_start,"
+    " date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,"
+    " 'host' || (CAST(regexp_extract(url, 'host([0-9]+)', 1) AS BIGINT)) || '.example' AS host,"
+    " count(*) AS n_urls, min(priority) AS top_priority"
+    " FROM c GROUP BY 1, 2, 3",
+)
+def stream_host_rate_metrics(spark, sf):
+    from .streaming.frontier_stream import host_rate_metrics
+
+    e = _t(spark, sf, "events")
+    cand = e.select(
+        F.concat(
+            F.lit("https://host"), F.pmod("user_id", F.lit(20)).cast("string"),
+            F.lit(".example/e/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.pmod("event_id", F.lit(3)).cast("int").alias("priority"),
+        F.col("ts").alias("discovered_ts"),
+    )
+    return host_rate_metrics(cand)
 
 
 # ----------------------------------------------------------- multimodal

@@ -1,0 +1,5 @@
+from .frontier_stream import (  # noqa: F401
+    StreamConfig,
+    host_rate_metrics,
+    run_frontier_stream,
+)

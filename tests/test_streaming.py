@@ -1,0 +1,104 @@
+"""Structured Streaming frontier feed (streaming/frontier_stream.py).
+
+Driven with the file source + ``availableNow`` trigger so each test is
+deterministic and bounded; restart-from-checkpoint covers the
+exactly-once contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.streaming import (
+    StreamConfig,
+    host_rate_metrics,
+    run_frontier_stream,
+)
+from crawler_apple_podcast_spark.streaming.frontier_stream import (
+    CANDIDATE_SCHEMA,
+    process_candidate_batch,
+)
+
+
+def _write_candidates(spark, path, rows):
+    spark.createDataFrame(rows, CANDIDATE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _cfg(tmp):
+    return StreamConfig(
+        seen_dir=f"{tmp}/seen",
+        out_dir=f"{tmp}/out",
+        checkpoint_dir=f"{tmp}/ckpt",
+        default_budget=1_000_000,
+    )
+
+
+import datetime
+
+TS = datetime.datetime(2024, 5, 23, 12, 0, 0)
+
+
+def test_stream_drains_and_schedules(spark, tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    _write_candidates(
+        spark,
+        f"{tmp}/src",
+        [(f"https://H{i % 3}.example:443/p/{i}#f", i % 2, TS) for i in range(20)],
+    )
+    q = run_frontier_stream(spark, f"{tmp}/src", cfg)
+    q.awaitTermination(120)
+    out = spark.read.parquet(cfg.out_dir)
+    # canonicalized: lowercase host, port/fragment stripped
+    urls = [r["fetch_url"] for r in out.collect()]
+    assert len(urls) == 20 and len(set(urls)) == 20
+    assert all(u.startswith("https://h") and ":443" not in u and "#" not in u for u in urls)
+
+
+def test_stream_cross_batch_dedupe(spark, tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    rows = [(f"https://a.example/p/{i}", 0, TS) for i in range(10)]
+    _write_candidates(spark, f"{tmp}/src", rows)
+    run_frontier_stream(spark, f"{tmp}/src", cfg).awaitTermination(120)
+    # second drop: 5 repeats + 5 new — only the new may be scheduled
+    rows2 = rows[:5] + [(f"https://a.example/p/{i}", 0, TS) for i in range(10, 15)]
+    _write_candidates(spark, f"{tmp}/src", rows2)
+    run_frontier_stream(spark, f"{tmp}/src", cfg).awaitTermination(120)
+    out = spark.read.parquet(cfg.out_dir)
+    urls = sorted(r["fetch_url"] for r in out.collect())
+    assert len(urls) == 15 and len(set(urls)) == 15
+
+
+def test_stream_in_batch_dedupe_and_idempotent_replay(spark, tmp_path):
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    batch = spark.createDataFrame(
+        [("https://a.example/p/1", 0, TS), ("https://a.example/p/1", 1, TS),
+         ("https://a.example/p/2", 0, TS)],
+        CANDIDATE_SCHEMA,
+    )
+    process_candidate_batch(spark, batch, 0, cfg)
+    n1 = spark.read.parquet(cfg.out_dir).count()
+    # replaying the SAME batch id must overwrite, not duplicate
+    process_candidate_batch(spark, batch, 0, cfg)
+    n2 = spark.read.parquet(cfg.out_dir).count()
+    assert n1 == n2 == 2
+
+
+def test_host_rate_metrics_windowing(spark):
+    rows = [
+        ("https://a.example/1", 1, TS),
+        ("https://a.example/2", 0, TS + datetime.timedelta(seconds=30)),
+        ("https://b.example/1", 2, TS + datetime.timedelta(seconds=61)),
+    ]
+    df = spark.createDataFrame(rows, CANDIDATE_SCHEMA)
+    got = {(r["host"], r["window_start"].minute): r for r in host_rate_metrics(df).collect()}
+    assert got[("a.example", 0)]["n_urls"] == 2
+    assert got[("a.example", 0)]["top_priority"] == 0
+    assert got[("b.example", 1)]["n_urls"] == 1
