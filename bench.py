@@ -132,7 +132,9 @@ def bench_frontier(spark, n_urls: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_urls = int(float(os.environ.get("BENCH_FRONTIER_URLS", "2000000")))
+    # 8M default: small enough for a per-round driver run, large
+    # enough that per-URL work dominates the fixed per-run overhead.
+    n_urls = int(float(os.environ.get("BENCH_FRONTIER_URLS", "8000000")))
     only_frontier = os.environ.get("BENCH_ONLY_FRONTIER") == "1"
 
     # Partition count is sized to the DATA, not the core count — on a
