@@ -282,8 +282,10 @@ def d3_drop_duplicates(spark, sf):
 
 @q(
     "d4_fetch_join_counters",
+    # Outer CAST: DuckDB sum(BIGINT) returns HUGEINT, which surfaces as
+    # float64 through Arrow and breaks the driver's value hash.
     "SELECT c_nationkey, count(*) AS n_orders,"
-    " sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents"
+    " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents"
     " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey",
 )
 def d4_fetch_join_counters(spark, sf):
@@ -319,8 +321,8 @@ def a1_wave_counts(spark, sf):
 @q(
     "a2_success_fail_counters",
     "SELECT event_type, count(*) AS total,"
-    " sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS fail_count,"
-    " sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS succ_count,"
+    " CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS fail_count,"
+    " CAST(sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS succ_count,"
     " max(CAST(round(value * 100) AS BIGINT)) AS max_cents"
     " FROM events GROUP BY event_type",
 )
@@ -337,7 +339,7 @@ def a2_success_fail_counters(spark, sf):
 @q(
     "a2_skew_twophase_agg",
     "SELECT event_type, count(*) AS cnt,"
-    " sum(CAST(round(value * 100) AS BIGINT)) AS value_cents"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents"
     " FROM events GROUP BY event_type",
 )
 def a2_skew_twophase_agg(spark, sf):
@@ -410,9 +412,9 @@ def politeness_budget_gate(spark, sf):
 @q(
     "tpch_q1_pricing_summary",
     "SELECT l_returnflag, l_linestatus,"
-    " sum(CAST(l_quantity AS BIGINT)) AS sum_qty,"
-    " sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,"
-    " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,"
+    " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+    " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,"
+    " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,"
     " count(*) AS count_order FROM lineitem"
     " WHERE l_shipdate <= TIMESTAMP '2001-09-02'"
     " GROUP BY l_returnflag, l_linestatus",
@@ -436,7 +438,7 @@ def tpch_q1_pricing_summary(spark, sf):
 @q(
     "tpch_q3_top_orders",
     "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,"
-    " sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents"
+    " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents"
     " FROM customer JOIN orders ON c_custkey = o_custkey"
     " JOIN lineitem ON l_orderkey = o_orderkey"
     " WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'"
@@ -560,8 +562,8 @@ def text_stats(spark, sf):
     "text_fingerprint",
     "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
     " FROM documents)"
-    " SELECT doc_id, COALESCE(list_sum(list_transform(tk,"
-    f" (x, i) -> i * (ascii(x) + 31 * length(x)))), 0) % {FINGERPRINT_MOD} AS fp"
+    " SELECT doc_id, CAST(COALESCE(list_sum(list_transform(tk,"
+    f" (x, i) -> i * (ascii(x) + 31 * length(x)))), 0) % {FINGERPRINT_MOD} AS BIGINT) AS fp"
     " FROM t",
 )
 def text_fingerprint(spark, sf):
@@ -646,8 +648,8 @@ def mm_media_meta(spark, sf):
     " (doc_id % 640 + 1) AS width, (doc_id % 480 + 1) AS height,"
     " length(text) AS n_bytes,"
     " COALESCE(ascii(substring(text, 1, 1)), 0) AS first_byte,"
-    " COALESCE(list_aggregate(list_transform(string_split(text, ''),"
-    "   x -> ascii(x)), 'sum'), 0) AS byte_sum"
+    " CAST(COALESCE(list_aggregate(list_transform(string_split(text, ''),"
+    "   x -> ascii(x)), 'sum'), 0) AS BIGINT) AS byte_sum"
     " FROM documents",
 )
 def mm_decode_fake(spark, sf):

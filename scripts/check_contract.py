@@ -23,6 +23,31 @@ TABLES = [
 ]
 
 
+def _type_class(at) -> str | None:
+    """Collapse an Arrow type to the class the driver's hash is sensitive
+    to (int vs float is the HUGEINT trap); None = don't compare."""
+    import pyarrow.types as pt
+
+    if pt.is_integer(at):
+        return "int"
+    if pt.is_floating(at) or pt.is_decimal(at):
+        return "float"
+    if pt.is_string(at) or pt.is_large_string(at):
+        return "str"
+    return None
+
+
+def _spark_type_class(dt) -> str | None:
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if name in ("float", "double") or name.startswith("decimal"):
+        return "float"
+    if name == "string":
+        return "str"
+    return None
+
+
 def normalize(v):
     if isinstance(v, float):
         return round(v, 6)
@@ -66,6 +91,14 @@ def main() -> int:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # Arrow is the driver's materialization path: DuckDB HUGEINT
+            # (e.g. sum(BIGINT)) becomes float64 here even though
+            # fetchall() yields Python ints — compare type *classes* so
+            # the local gate predicts the driver's value-hash verdict.
+            atypes = {
+                f.name: _type_class(f.type)
+                for f in con.execute(oracles[name]).arrow().schema
+            }
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures += 1
@@ -75,6 +108,17 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        else:
+            stypes = {f.name: _spark_type_class(f.dataType) for f in df.schema.fields}
+            tdiff = {
+                c: (stypes[c], atypes[c])
+                for c in stypes
+                if stypes[c] is not None
+                and atypes.get(c) is not None
+                and stypes[c] != atypes[c]
+            }
+            if tdiff:
+                problems.append(f"type classes differ (spark, oracle-arrow): {tdiff}")
         if not problems:
             sm = rows_multiset(scols, [tuple(r) for r in srows])
             dm = rows_multiset(dcols, drows)
