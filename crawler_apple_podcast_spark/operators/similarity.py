@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 
 from ..functions.text import idiv, tokens
 
+def _spread(df: DataFrame, *cols) -> DataFrame:
+    """Ensure at least one input partition per core before a heavy map
+    stage.  Small-file inputs (one parquet split) otherwise serialize
+    the whole explode/hash stage onto a single task; at cluster scale
+    the input already has >= cores partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -43,19 +54,38 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, one row per (doc, shingle)."""
-    toks = tokens(F.col(text_col))
+    """Distinct word n-gram shingles, one row per (doc, shingle).
+
+    The token array is materialized in its own projection BEFORE the
+    gram lambda runs: referencing the raw ``tokens(text)`` expression
+    inside the per-index lambda makes Catalyst re-evaluate the full
+    split per gram — an O(len^2) trap measured at ~7x wall on sf0.1."""
+    t1 = _spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("_tk") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.sequence(F.lit(1), F.size("_tk") - n + 1),
+            lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
         ),
     ).otherwise(F.array())
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return t1.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct shingle set per doc as ONE array column — a narrow
+    (shuffle-free) alternative to shingle_rows for small doc subsets,
+    e.g. the LSH candidate docs in minhash_dedup_pairs."""
+    t1 = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk"))
+    grams = F.when(
+        F.size("_tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - n + 1),
+            lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
+        ),
+    ).otherwise(F.array())
+    return t1.select("doc_id", F.array_distinct(grams).alias("sh_set"))
 
 
 def jaccard_pairs(
@@ -67,14 +97,25 @@ def jaccard_pairs(
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates.select("doc_a", "doc_b").distinct(), ["doc_a", "doc_b"], "left_semi")
+    if candidates is None:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # Prune FIRST: expand each candidate pair by doc_a's shingles,
+        # then count which also occur in doc_b.  Cost is
+        # O(sum over candidate pairs of |shingles(doc_a)|) — linear in
+        # the candidate set, never the all-pairs shingle self-join.
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -95,6 +136,29 @@ def jaccard_pairs(
 # -------------------------------------------------------------- MinHash
 
 
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-OCCURRENCE shingle hashes (doc_id, _sh) — no distinct and no
+    shingle-string materialization.  MinHash's per-family min is
+    duplicate-insensitive, so the distinct (a full string shuffle) is
+    pure waste on the signature path; the shingle hash is chained from
+    per-token xxhash64 values instead of concatenating token strings,
+    so the map stage moves fixed-width longs, never n-gram strings.
+    Token hashes are materialized in their own projection first (see
+    shingle_rows: lambda-inlined expressions re-evaluate per element)."""
+    t1 = _spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    grams = F.when(
+        F.size("_th") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_th") - n + 1),
+            lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return t1.select("doc_id", F.explode(grams).alias("_sh"))
+
+
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 64) -> DataFrame:
     """(doc_id, m0..m{n-1}) — min over seeded xxhash64 per hash family.
     Entirely JVM-side; one shuffle (the groupBy).
@@ -107,6 +171,10 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 64) -> DataFrame:
     the shuffle carries one 64-column row per (doc, partition).
     """
     hashed = shingles.select("doc_id", F.xxhash64("shingle").alias("_sh"))
+    return minhash_signatures_from_hashes(hashed, n_hashes)
+
+
+def minhash_signatures_from_hashes(hashed: DataFrame, n_hashes: int = 64) -> DataFrame:
     derived = hashed.select(
         "doc_id", *[F.xxhash64("_sh", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -143,26 +211,79 @@ def minhash_dedup_pairs(
     text_col: str,
     n: int = 3,
     threshold_milli: int = 800,
-    n_hashes: int = 64,
+    n_hashes: int = 32,
     bands: int = 16,
-    rows_per_band: int = 4,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact confirmation: LSH only
     prunes the pair space; every surviving pair is exact-Jaccard
     checked, so output == the all-pairs exact computation (up to LSH
-    recall, which the banding parameters make ~1 at the threshold)."""
-    sh = shingle_rows(df, id_col, text_col, n).persist()  # reused by both stages
-    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), bands, rows_per_band)
-    return jaccard_pairs(sh, threshold_milli, candidates=cands)
+    recall, which the banding parameters make ~1 at the threshold:
+    16 bands x 2 rows -> P(miss) = (1-j^2)^16, ~3e-8 at j=0.8 and 1%
+    at j=0.5).
+
+    Scale shape: the full corpus is touched only by the signature scan
+    (one shuffle over fixed-width longs, no distinct); the exact
+    shingle-set materialization (string distinct) happens ONLY for the
+    docs that appear in some LSH candidate pair — at 100 TB that is the
+    near-dup fraction, not the corpus."""
+    hashed = shingle_hashes(df, id_col, text_col, n)
+    # Persist: the banding self-join reads the signature frame twice —
+    # unpersisted it recomputes the whole shingle+hash pipeline per side.
+    sig = minhash_signatures_from_hashes(hashed, n_hashes).persist()
+    cands = lsh_candidate_pairs(sig, bands, rows_per_band).persist()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # Exact confirm, restricted to candidate docs: per-doc distinct
+    # shingle sets as array columns (narrow), two joins against the
+    # candidate pairs, array_intersect for the exact intersection size.
+    # No shingle explode/distinct/self-join shuffles on the corpus.
+    sub = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+    sets = shingle_sets(sub, id_col, text_col, n)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    out = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("_i"), union.alias("_u"))
+        .where(F.col("_i") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            idiv(F.col("_i") * F.lit(1000), F.col("_u")).alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= threshold_milli)
+        .persist()
+    )
+    out.count()  # materialize, then release the intermediates
+    sig.unpersist()
+    cands.unpersist()
+    return out
 
 
 # -------------------------------------------------------------- SimHash
 
 
+def _assemble_fingerprint(bit_sums: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, s0..s{bits-1} sign sums) -> (doc_id, simhash LONG)."""
+    fp = None
+    for i in range(bits):
+        term = F.shiftleft(
+            F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
+        )
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash, fully native: per-token xxhash64, per-bit ±count
     aggregate, sign -> bit assembly."""
-    tok = df.select(
+    tok = _spread(df, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     bit_sums = tok.groupBy("doc_id").agg(
@@ -173,23 +294,72 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
             for i in range(bits)
         ]
     )
-    fp = None
-    for i in range(bits):
-        term = F.shiftleft(
-            F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
-        )
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return bit_sums.select("doc_id", fp.alias("simhash"))
+    return _assemble_fingerprint(bit_sums, bits)
+
+
+# Modulus for the SQL-expressible per-bit hash family.  Per-token bit i
+# is ((char_sum * P[i] + Q[i]) % M) % 2 — small-integer arithmetic that
+# is exact in both Spark (ANSI, no overflow: char_sum < 2^13, P < 2^20)
+# and the DuckDB oracle.
+SIMHASH_M = 1048573
+
+
+def simhash_bit_params(bits: int = 64, seed: int = 0x5EED) -> tuple[list[int], list[int]]:
+    """Deterministic per-bit (P, Q) constants via a plain LCG, so the
+    oracle SQL can embed the identical values as literals."""
+    p, q, state = [], [], seed
+    for _ in range(bits):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        p.append(1 + (state % (1 << 20)))
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        q.append(state % SIMHASH_M)
+    return p, q
+
+
+def char_sum(col: F.Column) -> F.Column:
+    """Sum of ASCII codes of a token — the SQL-expressible token
+    feature feeding the arithmetic SimHash bit family."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), F.ascii), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+
+
+def simhash_arith(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash over an arithmetic (oracle-reproducible) token-hash
+    family instead of xxhash64.  Same plan shape as ``simhash``: token
+    explode -> per-bit ±1 sign sums (one shuffle, map-side partials) ->
+    fingerprint assembly."""
+    P, Q = simhash_bit_params(bits)
+    tok = _spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select("doc_id", char_sum(F.col("tok")).alias("cs"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    ((F.col("cs") * F.lit(P[i]) + F.lit(Q[i])) % F.lit(SIMHASH_M)) % 2 == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    return _assemble_fingerprint(bit_sums, bits)
 
 
 def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 6, chunks: int = 8
+    sims: DataFrame, max_hamming: int = 3, chunks: int = 4
 ) -> DataFrame:
     """Pairs with Hamming distance <= ``max_hamming``.  Pigeonhole: with
-    ``chunks`` 8-bit chunks, any pair within distance ``chunks-1`` must
+    ``chunks`` 16-bit chunks, any pair within distance ``chunks-1`` must
     agree on >= one chunk — candidate join per chunk, exact bit_count
-    confirm."""
-    assert max_hamming < chunks
+    confirm.  16-bit chunks give up to 65,536 blocking buckets per chunk
+    (vs 256 for 8-bit), keeping candidate generation ~chunks*n^2/65536
+    instead of quadratic at corpus scale."""
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < chunks, got {max_hamming} >= {chunks}"
+        )
     width = 64 // chunks
     chunk_cols = [
         F.shiftrightunsigned(F.col("simhash"), i * width)
@@ -218,7 +388,7 @@ def simhash_near_pairs(
     return cand.select(
         "doc_a",
         "doc_b",
-        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
 
 
@@ -256,6 +426,25 @@ def cosine_topk_bruteforce(
     )
 
 
+QUANT_SCALE = 1000
+
+
+def plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic integer hyperplanes (entries in [-3, 3]).  Integer
+    planes + integer-quantized vectors make the bucket bit an EXACT
+    computation, reproducible literal-for-literal in the DuckDB oracle
+    (float hyperplanes risk sign flips on near-zero dots across
+    engines)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(-3, 4, size=(n_planes, dim)).astype(np.int64)
+
+
+def quantize_vec(m: np.ndarray) -> np.ndarray:
+    # np.rint is half-to-even vs round()'s half-away, but a float32
+    # value times 1000 is never an exact .5 in double, so they agree.
+    return np.rint(m.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     dim: int,
@@ -265,20 +454,25 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (vectorized Arrow UDF —
-    one numpy matmul per batch)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim).astype(np.float64)
+    one integer matmul per batch; bit i = sign of round(v*1000)·plane_i)."""
+    planes = plane_matrix(n_planes, dim, seed)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 
     @F.pandas_udf("long")
     def _bucket(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())
-        bits = (m.astype(np.float64) @ bc.value.T) > 0
+        bits = (quantize_vec(m) @ bc.value.T) > 0
         weights = (1 << np.arange(bits.shape[1])).astype(np.int64)
         return pd.Series(bits @ weights)
 
     return embeddings.select(F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket"))
+
+
+def query_bucket(query: list[float], n_planes: int, seed: int = 42) -> int:
+    planes = plane_matrix(n_planes, len(query), seed)
+    qbits = (planes @ quantize_vec(np.asarray(query))) > 0
+    return int((qbits * (1 << np.arange(n_planes))).sum())
 
 
 def cosine_topk_lsh(
@@ -289,15 +483,19 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Scale path: search only the query's hyperplane bucket (recall
-    traded for a ~2^n_planes fan-in reduction; multi-probe = lower
-    n_planes)."""
+    """Scale path: search the query's hyperplane bucket plus all buckets
+    within ``probe_bits`` flipped bits (multiprobe), then exact cosine
+    within the candidate set — a ~2^n_planes/(1+n_planes) fan-in
+    reduction with measured recall (tests/test_similarity.py)."""
     dim = len(query)
     sigs = hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
-    qbits = (planes @ np.asarray(query)) > 0
-    qbucket = int((qbits * (1 << np.arange(n_planes))).sum())
-    in_bucket = sigs.where(F.col("bucket") == qbucket).select(id_col, vec_col)
+    qbucket = query_bucket(query, n_planes, seed)
+    if probe_bits > 1:
+        raise ValueError("probe_bits > 1 not implemented; use more bands instead")
+    probes = [qbucket] + (
+        [qbucket ^ (1 << i) for i in range(n_planes)] if probe_bits >= 1 else []
+    )
+    in_bucket = sigs.where(F.col("bucket").isin(probes)).select(id_col, vec_col)
     return cosine_topk_bruteforce(in_bucket, query, k, id_col, vec_col)

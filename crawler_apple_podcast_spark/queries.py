@@ -505,10 +505,47 @@ def dedup_minhash_lsh(spark, sf):
     return S.minhash_dedup_pairs(_t(spark, sf, "documents"), "doc_id", "text", 3, 500)
 
 
-@q("dedup_simhash", None)  # xxhash64 not expressible in the oracle: rows-only check
+def _simhash_oracle(bits: int = 64, chunks: int = 4, max_hamming: int = 3) -> str:
+    """Full SQL replay of simhash_arith + chunked near-pair search: the
+    per-bit (P, Q) constants are embedded as literals, chunk values are
+    compared with xor/bit_count (never assembling bit 63 into a BIGINT)."""
+    P, Q = S.simhash_bit_params(bits)
+    width = bits // chunks
+    s_cols = ", ".join(
+        f"sum(CASE WHEN ((cs * {P[i]} + {Q[i]}) % {S.SIMHASH_M}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    c_cols = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{c * width + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        + f" AS BIGINT) AS c{c}"
+        for c in range(chunks)
+    )
+    ham = " + ".join(f"bit_count(xor(x.c{c}, y.c{c}))" for c in range(chunks))
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),"
+        " t -> t <> '')) AS tok FROM documents),"
+        " s AS (SELECT doc_id, CAST(list_sum(list_transform(string_split(tok, ''),"
+        " ch -> ascii(ch))) AS BIGINT) AS cs FROM tk),"
+        f" b AS (SELECT doc_id, {s_cols} FROM s GROUP BY doc_id),"
+        f" f AS (SELECT doc_id, {c_cols} FROM b),"
+        f" p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        f" CAST({ham} AS BIGINT) AS hamming FROM f x JOIN f y ON x.doc_id < y.doc_id)"
+        f" SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= {max_hamming}"
+    )
+
+
+@q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf):
-    sims = S.simhash(_t(spark, sf, "documents"), "doc_id", "text")
-    return S.simhash_near_pairs(sims, max_hamming=7, chunks=8)
+    """Arithmetic-hash SimHash (oracle-reproducible bit family) with
+    16-bit pigeonhole blocking; the xxhash64 variant (S.simhash) is the
+    production hash with the same plan shape."""
+    sims = S.simhash_arith(_t(spark, sf, "documents"), "doc_id", "text")
+    return S.simhash_near_pairs(sims, max_hamming=3, chunks=4)
 
 
 @q(
@@ -525,11 +562,36 @@ def ann_cosine_topk(spark, sf):
     return S.cosine_topk_bruteforce(emb, query, k=10)
 
 
-@q("ann_lsh_bucketed", None)  # hyperplane LSH not expressible in SQL: rows-only
+def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    """SQL replay of the hyperplane LSH: integer plane literals, exact
+    integer-quantized dot-product signs, ±1-bit multiprobe, cosine
+    top-k within the candidate set."""
+    planes = S.plane_matrix(n_planes, dim, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {[int(v) for v in planes[i]]}::DOUBLE[]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding,"
+        " list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv FROM embeddings),"
+        f" sig AS (SELECT vec_id, embedding, CAST({terms} AS BIGINT) AS bucket FROM e),"
+        " qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = 0),"
+        " q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),"
+        " cand AS (SELECT s.vec_id, s.embedding FROM sig s, qb"
+        " WHERE bit_count(xor(s.bucket, qb.qbucket)) <= 1)"
+        " SELECT c.vec_id, round(list_dot_product(c.embedding::DOUBLE[], q.qe::DOUBLE[])"
+        " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cosine"
+        f" FROM cand c CROSS JOIN q ORDER BY cosine DESC, c.vec_id LIMIT {k}"
+    )
+
+
+@q("ann_lsh_bucketed", _ann_lsh_oracle())
 def ann_lsh_bucketed(spark, sf):
     emb = _t(spark, sf, "embeddings")
     query = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
-    return S.cosine_topk_lsh(emb, query, k=10, n_planes=6)
+    return S.cosine_topk_lsh(emb, query, k=10, n_planes=6, probe_bits=1)
 
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
