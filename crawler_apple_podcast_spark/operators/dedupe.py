@@ -44,8 +44,15 @@ def _scan_component(pdf: pd.DataFrame) -> pd.DataFrame:
     urls: set = set()
     uids: set = set()
     keep = []
-    for r in pdf.itertuples():
-        if r.seen_hit or r.url in urls or r.uid in uids:
+    forced = pdf["forced"] if "forced" in pdf.columns else None
+    for i, r in enumerate(pdf.itertuples()):
+        if forced is not None and forced.iloc[i]:
+            # injected pre-seen key (e.g. the empty-uid survivor's url):
+            # always "survives" so its keys block later rows.
+            keep.append(True)
+            urls.add(r.url)
+            uids.add(r.uid)
+        elif r.seen_hit or r.url in urls or r.uid in uids:
             keep.append(False)
         else:
             keep.append(True)
@@ -88,10 +95,23 @@ def sequential_or_dedupe(
             "seen_hit", F.coalesce(F.col("_hu"), F.lit(False)) | F.coalesce(F.col("_hd"), F.lit(False))
         )
         .drop("_hu", "_hd")
+        .persist()
     )
 
-    # min-label propagation over the url/uid key graph
-    lab = c.withColumn("comp", F.col("ord"))
+    # The uid='' quirk makes every empty-uid row one giant component
+    # (each matches each).  Handled analytically instead of as one
+    # sequential task: at most ONE empty-uid row survives — the first
+    # (by ord) that is neither seen nor url-blocked by an earlier
+    # non-empty survivor — because it adds '' to the seen uids and
+    # kills every later empty-uid row.  Non-empty rows are affected by
+    # it only through its url, which is re-injected below.
+    empties = c.where(F.col("uid") == "")
+    nonempty = c.where(F.col("uid").isNull() | (F.col("uid") != ""))
+
+    # min-label propagation over the url/uid key graph (non-empty rows
+    # only — components are small without the '' hub).  Persist per
+    # iteration so lineage (and recomputation) stays O(1) per round.
+    lab = nonempty.withColumn("comp", F.col("ord")).persist()
     for _ in range(max_iters):
         by_url = lab.groupBy("url").agg(F.min("comp").alias("_cu"))
         by_uid = lab.groupBy("uid").agg(F.min("comp").alias("_cd"))
@@ -99,23 +119,84 @@ def sequential_or_dedupe(
             lab.join(by_url, "url")
             .join(by_uid, "uid")
             .withColumn("_new", F.least("comp", "_cu", "_cd"))
+            .persist()
         )
         changed = nxt.where(F.col("_new") != F.col("comp")).limit(1).count()
+        old = lab
         lab = nxt.withColumn("comp", F.col("_new")).drop("_cu", "_cd", "_new")
+        old.unpersist()
         if changed == 0:
             break
-    survivors = (
-        lab.select("ord", "url", "uid", "seen_hit", "comp")
-        .groupBy("comp")
-        .applyInPandas(
-            _scan_component,
-            schema="ord BIGINT, url STRING, uid STRING, seen_hit BOOLEAN, comp BIGINT",
+
+    scan_schema = (
+        "ord BIGINT, url STRING, uid STRING, seen_hit BOOLEAN, comp BIGINT, forced BOOLEAN"
+    )
+    base = lab.select("ord", "url", "uid", "seen_hit", "comp").withColumn(
+        "forced", F.lit(False)
+    )
+    s0 = (
+        base.groupBy("comp").applyInPandas(_scan_component, schema=scan_schema).persist()
+    )
+
+    # e* = first empty-uid candidate not seen and not url-blocked by an
+    # earlier non-empty survivor.  (Survivors before e*.ord cannot be
+    # changed by e*, so s0 is authoritative for the blocking check.)
+    blockers = s0.select(F.col("url").alias("url"), F.col("ord").alias("_bord"))
+    e_valid = (
+        empties.where(~F.col("seen_hit"))
+        .join(blockers, "url", "left")
+        .groupBy("ord", "url")
+        .agg(F.min("_bord").alias("_minb"))
+        .where(F.col("_minb").isNull() | (F.col("_minb") > F.col("ord")))
+    )
+    estar = e_valid.orderBy("ord").select("ord", "url").limit(1).collect()
+
+    if not estar:
+        survivors = s0.select("ord")
+    else:
+        e_ord, e_url = estar[0].ord, estar[0].url
+        # Components containing a row that e*'s url can kill are
+        # re-scanned with the url injected as a forced pre-seen key;
+        # cascades (kills freeing keys for later rows) replay exactly.
+        affected = (
+            lab.where((F.col("url") == e_url) & (F.col("ord") > e_ord))
+            .select("comp")
+            .distinct()
         )
-        .select("ord")
-    )
-    return candidates.join(
+        aff_rows = base.join(F.broadcast(affected), "comp", "left_semi")
+        spark = candidates.sparkSession
+        inject = (
+            aff_rows.select("comp")
+            .distinct()
+            .select(
+                F.lit(e_ord).alias("ord"),
+                F.lit(e_url).alias("url"),
+                F.lit("\x00estar").alias("uid"),
+                F.lit(False).alias("seen_hit"),
+                F.col("comp"),
+                F.lit(True).alias("forced"),
+            )
+        )
+        rescanned = (
+            aff_rows.unionByName(inject)
+            .groupBy("comp")
+            .applyInPandas(_scan_component, schema=scan_schema)
+            .where(~F.col("forced"))
+        )
+        survivors = (
+            s0.join(F.broadcast(affected), "comp", "left_anti")
+            .unionByName(rescanned)
+            .select("ord")
+            .unionByName(spark.createDataFrame([(e_ord,)], "ord BIGINT"))
+        )
+
+    out = candidates.join(
         survivors.withColumnRenamed("ord", ord_col), ord_col, "left_semi"
-    )
+    ).persist()
+    out.count()
+    for f in (c, lab, s0):
+        f.unpersist()
+    return out
 
 
 def skip_if_exists(

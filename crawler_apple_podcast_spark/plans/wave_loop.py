@@ -70,6 +70,30 @@ def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def next_frontier(
+    parsed: DataFrame, visited: DataFrame, deferred: DataFrame, next_priority: int
+) -> DataFrame:
+    """Next-wave frontier: live cursors minus already-visited, plus the
+    politeness-deferred rows.
+
+    ``visited`` accumulates every fetched URL and is unbounded (10^10
+    at target scale) — it must NEVER be a forced broadcast.  The exact
+    anti-join is left unhinted: Spark plans a shuffle join and AQE
+    downgrades to broadcast only when runtime stats actually fit."""
+    nxt = (
+        parsed.where(F.col("fetch_ok"))
+        .select(
+            "seed_index",
+            F.col("next_url").alias("url"),
+            F.lit(next_priority).alias("priority"),
+        )
+        .withColumn("fetch_url", U.normalize_fetch_url(F.col("url")))
+        .join(visited, ["seed_index", "fetch_url"], "left_anti")
+        .drop("fetch_url")
+    )
+    return nxt.unionByName(deferred.select("seed_index", "url", "priority"))
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -175,24 +199,13 @@ def run_crawl(
         )
 
         # next frontier: live cursors, minus already-visited (cycle guard),
-        # plus politeness-deferred rows
-        visited = visited.unionByName(
-            fetch_log.select("seed_index", "fetch_url")
-        ).localCheckpoint()
-        nxt = (
-            parsed.where(F.col("fetch_ok"))
-            .select(
-                "seed_index",
-                F.col("next_url").alias("url"),
-                F.lit(wave + 1).alias("priority"),
-            )
-            .withColumn("fetch_url", U.normalize_fetch_url(F.col("url")))
-            .join(F.broadcast(visited), ["seed_index", "fetch_url"], "left_anti")
-            .drop("fetch_url")
-        )
-        frontier = nxt.unionByName(
-            deferred.select("seed_index", "url", "priority")
-        ).localCheckpoint()
+        # plus politeness-deferred rows.  With a store, visited stays a
+        # DISK-backed snapshot table re-read per wave (no executor-memory
+        # union chain); the in-wave rows are unioned on top.
+        visited = visited.unionByName(fetch_log.select("seed_index", "fetch_url"))
+        if store is None:
+            visited = visited.localCheckpoint()
+        frontier = next_frontier(parsed, visited, deferred, wave + 1).localCheckpoint()
 
         if store is not None:
             m = store.commit_wave(
@@ -210,6 +223,7 @@ def run_crawl(
             metrics = store.read_wave("metrics", wave)
             fetch_log = store.read_wave("fetch_log", wave)
             frontier = store.read_wave("frontier", wave)
+            visited = store.read_table("fetch_log").select("seed_index", "fetch_url")
         else:
             eps = eps.localCheckpoint()
             metrics = metrics.localCheckpoint()

@@ -87,6 +87,71 @@ def test_sequential_or_dedupe_property(spark, cand_spec, seen_spec):
     assert _run_engine(spark, seen, cands) == save_urls_to_db(seen, cands)
 
 
+def _sim_pairs(seen, cands):
+    """Reference scan over explicit (url, uid) pairs."""
+    urls = {u for u, _ in seen}
+    uids = {d for _, d in seen}
+    keep = []
+    for i, (u, d) in enumerate(cands):
+        if u in urls or d in uids:
+            continue
+        keep.append(i)
+        urls.add(u)
+        uids.add(d)
+    return keep
+
+
+def _run_pairs(spark, seen, cands):
+    seen_df = spark.createDataFrame(seen or [("", "")], "url STRING, uid STRING")
+    if not seen:
+        seen_df = seen_df.limit(0)
+    cand_df = spark.createDataFrame(
+        [(i, u, d) for i, (u, d) in enumerate(cands)], "ord BIGINT, url STRING, uid STRING"
+    )
+    return sorted(r.ord for r in sequential_or_dedupe(cand_df, seen_df).collect())
+
+
+def test_empty_uid_cross_url_cascade(spark):
+    """The paths the analytic empty-uid handling adds: an empty-uid
+    candidate url-blocked by an earlier non-empty survivor, the next
+    empty row becoming the single survivor, its url killing a later
+    non-empty row, and that kill freeing a uid for a yet-later row."""
+    cands = [
+        ("U1", "7"),   # kept
+        ("U1", ""),    # url-blocked by row 0 -> dead
+        ("U2", ""),    # first valid empty -> kept (e*)
+        ("U3", ""),    # dead ('' matches e*)
+        ("U2", "9"),   # killed by e*'s url
+        ("U4", "9"),   # uid 9 freed by row 4's death -> kept
+    ]
+    assert _run_pairs(spark, [], cands) == _sim_pairs([], cands) == [0, 2, 5]
+
+
+def test_empty_uid_seen_blocks_all(spark):
+    """'' present in the seen table kills every empty-uid candidate."""
+    cands = [("U1", ""), ("U2", ""), ("U3", "5")]
+    seen = [("X", "")]
+    assert _run_pairs(spark, seen, cands) == _sim_pairs(seen, cands) == [2]
+
+
+def test_giant_empty_component_at_scale(spark):
+    """10^5 rows, 90% empty uid: completes via the analytic path (the
+    empty rows never enter a sequential scan task) and matches the
+    reference scan exactly."""
+    n = 100_000
+    rows = []
+    for i in range(n):
+        if i % 10 == 0:
+            rows.append((f"https://h/{i}", str(1000 + (i % 3000))))  # uid collisions
+        else:
+            rows.append((f"https://h/e{i % 70000}", ""))  # some url dups too
+    want = _sim_pairs([], rows)
+    got = _run_pairs(spark, [], rows)
+    assert got == want
+    n_empty_kept = sum(1 for i in got if rows[i][1] == "")
+    assert n_empty_kept == 1
+
+
 def test_two_key_or_anti_join_set_semantics(spark):
     cand = spark.createDataFrame(
         [(1, "u1", "a"), (2, "u2", "b"), (3, "u3", "c")], "ord INT, url STRING, uid STRING"

@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from crawler_apple_podcast_spark.functions.episodes import parity_text
 from crawler_apple_podcast_spark.oracle import crawl
-from crawler_apple_podcast_spark.plans.wave_loop import WaveConfig, run_crawl
+from crawler_apple_podcast_spark.plans.wave_loop import (
+    WaveConfig,
+    next_frontier,
+    run_crawl,
+)
 
 
 def _oracle(corpus_pdfs):
@@ -71,6 +75,41 @@ def test_extraction_bytes_match_corpus(spark, corpus):
     joined = texts.join(pages.select("url", F.col("text").alias("want")), "url")
     assert joined.where(F.col("text") != F.col("want")).count() == 0
     assert joined.count() == texts.count() > 0
+
+
+def test_next_frontier_large_visited_not_broadcast(spark):
+    """Visited 100x the wave size (the unbounded-at-10^10 side): the
+    anti-join stays exact and the plan carries no forced broadcast of
+    visited — Spark/AQE picks the strategy from stats."""
+    n_wave, n_visited = 1_000, 100_000
+    parsed = spark.range(n_wave).select(
+        F.lit(0).cast("int").alias("seed_index"),
+        F.lit(True).alias("fetch_ok"),
+        F.concat(F.lit("https://h.example/p/"), F.col("id").cast("string")).alias(
+            "next_url"
+        ),
+    )
+    # Every 2nd wave URL is already visited, plus 99k unrelated rows.
+    visited = spark.range(n_visited).select(
+        F.lit(0).cast("int").alias("seed_index"),
+        F.when(
+            F.col("id") < n_wave / 2,
+            F.concat(
+                F.lit("https://h.example/p/"),
+                (F.col("id") * 2).cast("string"),
+                F.lit("?l=en-US&offset=10"),  # fetch_log stores normalized urls
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://old.example/x/"), F.col("id").cast("string")))
+        .alias("fetch_url"),
+    ).localCheckpoint()
+    deferred = spark.createDataFrame([], "seed_index INT, url STRING, priority INT")
+    out = next_frontier(parsed, visited, deferred, 1)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast of visited
+    assert out.count() == n_wave / 2
+    got = {r.url for r in out.collect()}
+    assert all(int(u.rsplit("/", 1)[1]) % 2 == 1 for u in got)
 
 
 def test_metrics_counters(spark, corpus, corpus_pdfs):
