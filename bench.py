@@ -106,9 +106,14 @@ def bench_frontier(spark, n_urls: int) -> dict:
     cand = frontier.select(
         canonicalize_url(F.col("raw_url")).alias("fetch_url"), "priority", "id"
     )
-    seen = cand.where(F.pmod(F.col("id"), F.lit(2)) == 0).select("fetch_url")
 
     t0 = time.time()
+    # Persist before deriving seen: otherwise the seen scan re-runs
+    # canonicalization over the same lineage (each URL canonicalizes
+    # exactly once, as in the real pipeline).
+    cand = cand.persist()
+    cand.count()
+    seen = cand.where(F.pmod(F.col("id"), F.lit(2)) == 0).select("fetch_url")
     bloom = build_bloom_shards(
         seen, "fetch_url", n_shards=64, k=5, expected_items=n_urls // 2
     )

@@ -155,3 +155,19 @@ def parity_text(episodes: DataFrame) -> DataFrame:
             lambda pdf: _serialize_batch(pdf), schema="url STRING, text STRING"
         )
     )
+
+
+def asset_paths(
+    episodes: DataFrame, save_dir: str = "downloads", cos_save_path: str = "cos"
+) -> DataFrame:
+    """P9 file-path derivation (/root/reference/handler/
+    apple_podcast_api.py:146-150, 163): local save path
+    ``{save_dir}/Podcast_{uid}/{composite_id}.mp3`` and COS key
+    ``{cos_save_path}/Podcast_{uid}/{composite_id}.mp3`` — pure string
+    exprs over the composite episode id (``Podcast_{uid}_{eid}``)."""
+    uid = F.regexp_extract("id", r"^Podcast_([^_]*)_", 1)
+    sub = F.concat(F.lit("Podcast_"), uid)
+    fname = F.concat(F.col("id"), F.lit(".mp3"))
+    return episodes.withColumn(
+        "local_path", F.concat_ws("/", F.lit(save_dir), sub, fname)
+    ).withColumn("cos_key", F.concat_ws("/", F.lit(cos_save_path), sub, fname))

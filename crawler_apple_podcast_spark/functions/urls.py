@@ -80,18 +80,33 @@ def validate_next(next_raw: Column) -> Column:
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form for seen-set keys: lowercase scheme+host, strip
-    fragment and default port, sort query params, drop trailing ``?``.
+    fragment and DEFAULT port only (``:80`` http / ``:443`` https —
+    other ports are distinct origins and must survive), sort query
+    params, drop trailing ``?``.
+
+    ``parse_url(url, 'HOST')`` returns the host WITHOUT the port, so
+    the port is extracted separately from the authority.
     """
     proto = F.lower(F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit("http")))
     host = F.coalesce(host_of(url), F.lit(""))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    auth = F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1)
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    default_port = ((proto == "http") & (port == "80")) | (
+        (proto == "https") & (port == "443")
+    )
+    hostport = F.concat(
+        host,
+        F.when((port != "") & ~default_port, F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+    )
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
     query = F.parse_url(url, F.lit("QUERY"))
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         proto,
         F.lit("://"),
-        host,
+        hostport,
         path,
         F.when(
             query.isNotNull() & (F.length(query) > 0), F.concat(F.lit("?"), sorted_query)
@@ -105,3 +120,19 @@ def url_hash(url: Column, seed: int | None = None) -> Column:
     if seed is None:
         return F.xxhash64(url)
     return F.xxhash64(url, F.lit(seed))
+
+
+def user_agent_for(url: Column, agents: list[str], index_expr: Column | None = None) -> Column:
+    """P11 UA rotation (/root/reference/utils/user_agent.py:4-65,
+    picked at handler/apple_podcast_api.py:32).  The reference uses
+    ``random.randint``; a deterministic hash-pick keeps reruns
+    reproducible (the UA never reaches any output, so parity does not
+    depend on the distribution).  ``index_expr`` overrides the picker
+    (e.g. an oracle-replayable expression)."""
+    arr = F.array(*[F.lit(a) for a in agents])
+    idx = (
+        index_expr
+        if index_expr is not None
+        else F.pmod(F.xxhash64(url), F.lit(len(agents)))
+    )
+    return F.element_at(arr, (idx + 1).cast("int"))

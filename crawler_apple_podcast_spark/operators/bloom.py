@@ -48,7 +48,8 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     so the reduction is a bitwise AND — uint64 modulo is an order of
     magnitude slower in numpy and this sits on the per-URL hot path.
     """
-    assert m & (m - 1) == 0, "bloom m_bits must be a power of two"
+    if m & (m - 1) != 0:
+        raise ValueError(f"bloom m_bits must be a power of two, got {m}")
     h1u = h1.astype(np.uint64)
     h2u = h2.astype(np.uint64) | np.uint64(1)  # odd step
     i = np.arange(k, dtype=np.uint64)[None, :]
@@ -79,7 +80,10 @@ def build_bloom_shards(
     worker, an undersized one just sends more rows to the exact
     confirm join (never wrong, only slower).
     """
-    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    if n_shards & (n_shards - 1) != 0:
+        # A non-pow2 count would mis-shard probes vs the pmod-built
+        # shards (probe uses AND); fail loudly, asserts vanish under -O.
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
     if m_bits is None:
         per_shard = max(1024, ((expected_items or 1_000_000) * bits_per_item) // n_shards)
         m_bits = 1 << max(13, (per_shard - 1).bit_length())
@@ -120,7 +124,8 @@ def probe_bloom(
     """
     spark = df.sparkSession
     k, m, n_shards = bloom.k, bloom.m_bits, bloom.n_shards
-    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    if n_shards & (n_shards - 1) != 0:
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
     flat = np.zeros(n_shards * (m // 8), dtype=np.uint8)
     for s, b in bloom.shards.items():
         flat[s * (m // 8) : (s + 1) * (m // 8)] = np.frombuffer(b, dtype=np.uint8)
@@ -146,16 +151,22 @@ def probe_bloom(
 def bloom_gated_anti_join(
     new: DataFrame, seen: DataFrame, bloom: BloomShards, key_col: str = "url",
     materialize: bool = True,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact anti-join accelerated by the Bloom gate: probe-negatives
     bypass the shuffle entirely; probe-positives are confirmed exactly.
 
     ``materialize`` persists the probed frame so the two union branches
     (and any downstream consumer) run the probe UDF exactly once.
+    Long-running callers (streaming) pass ``cache_registry`` to receive
+    the persisted frame for release once the batch output is
+    materialized — otherwise it lives for the session.
     """
     probed = probe_bloom(new, bloom, key_col)
     if materialize:
         probed = probed.persist()
+        if cache_registry is not None:
+            cache_registry.append(probed)
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(

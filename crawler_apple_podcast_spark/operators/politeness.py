@@ -151,6 +151,46 @@ def parallel_host_rank(
     return ranked.drop("_pid", "_lidx", "_delta")
 
 
+def hash_bucketed_host_rank(
+    df: DataFrame,
+    host_col: str,
+    priority_col,
+    hash_col: str,
+    tiebreak_col: str,
+    out_col: str = "_rn",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact per-host rank by ``(priority, hash, tiebreak)`` with no
+    single-task window AND no ``repartitionByRange`` sampling pass.
+
+    The hash column is uniform, so its top bits are an ORDER-ALIGNED
+    salt: for equal priority, signed(hash_a) < signed(hash_b) implies
+    bucket_a <= bucket_b (arithmetic shift keeps signed order).  The
+    skewed host therefore spreads over ``n_buckets`` ordinary window
+    partitions, and the global per-host rank is
+    ``local row_number + offset``, where offsets come from one tiny
+    (host, priority, bucket) count aggregate.  Exactly one shuffle of
+    the big frame, no sampling job, no persist."""
+    if n_buckets & (n_buckets - 1) != 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    k = n_buckets.bit_length() - 1
+    b = df.withColumn("_bkt", F.shiftright(F.col(hash_col), 64 - k).cast("int"))
+    cnt = b.groupBy(host_col, priority_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    ow = (
+        Window.partitionBy(host_col)
+        .orderBy(priority_col, "_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.withColumn("_off", F.coalesce(F.sum("_c").over(ow), F.lit(0))).drop("_c")
+    lw = Window.partitionBy(host_col, priority_col, "_bkt").orderBy(
+        hash_col, tiebreak_col
+    )
+    ranked = b.join(off, [host_col, priority_col, "_bkt"]).withColumn(
+        out_col, (F.row_number().over(lw) + F.col("_off")).cast("int")
+    )
+    return ranked.drop("_bkt", "_off")
+
+
 def politeness_gate(
     frontier: DataFrame,
     budgets: DataFrame | None,
@@ -175,8 +215,9 @@ def politeness_gate(
     else:
         f = f.withColumn("_budget", F.lit(default_budget))
 
-    order = [F.col(priority_col), F.col("_uh"), F.col(url_col)]
-    ranked = parallel_host_rank(f, "_host", order)
+    # Order-aligned hash-prefix salting: the skewed host spans many
+    # window partitions, no range-sampling pass, no cached intermediate.
+    ranked = hash_bucketed_host_rank(f, "_host", priority_col, "_uh", url_col)
 
     helper = ["_host", "_uh", "_budget", "_rn"]
     scheduled = ranked.where(F.col("_rn") <= F.col("_budget")).drop(*helper)

@@ -39,6 +39,7 @@ from ..operators.politeness import (
     release_rank_cache,
 )
 from .snapshots import SnapshotStore
+from .status import latest_status, wave_status_delta
 
 EPISODES_COLS = [
     "seed_index", "offset", "pos", "wave", "source_url",
@@ -208,6 +209,11 @@ def run_crawl(
         frontier = next_frontier(parsed, visited, deferred, wave + 1).localCheckpoint()
 
         if store is not None:
+            # K3 lifecycle delta: fetched -> 3/4, deferred stays 1;
+            # current status = latest row per key (read_current_status).
+            status_delta = wave_status_delta(
+                fetch_log, deferred.select("seed_index", "fetch_url"), wave
+            )
             m = store.commit_wave(
                 wave,
                 {
@@ -215,6 +221,7 @@ def run_crawl(
                     "metrics": metrics,
                     "fetch_log": fetch_log,
                     "frontier": frontier,
+                    "url_status": status_delta,
                 },
                 metrics={"wave": wave},
             )
@@ -265,4 +272,13 @@ def run_crawl(
         fetch_log=fetch_log,
         n_waves=wave - start_wave,
         manifests=manifests,
+    )
+
+
+def read_current_status(store: SnapshotStore) -> DataFrame:
+    """Current crawl_status per (seed_index, fetch_url) from the
+    committed ``url_status`` deltas — the reference's
+    ``web_search_info.crawl_status`` view of the frontier."""
+    return latest_status(
+        store.read_table("url_status"), ["seed_index", "fetch_url"], "wave"
     )

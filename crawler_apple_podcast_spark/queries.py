@@ -25,10 +25,14 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions import urls as U
+from .functions.episodes import asset_paths
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
 from .operators import multimodal as MM
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
+from .plans.ledger import build_download_ledger
+from .plans.seed_discovery import run_seed_discovery
+from .plans.status import latest_status
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -405,6 +409,169 @@ def politeness_budget_gate(spark, sf):
         .where(F.col("rn") <= budget)
         .select("event_type", "event_id", "rn")
     )
+
+
+# ------------------------------------------- K3 / E2 / P9 / P11 / ledger
+
+@q(
+    "k3_status_transitions",
+    # K3 MERGE/latest-wins: the crawl_status state machine's "current
+    # status" view (reference db/search_info.py:56-66 UPDATE semantics).
+    "SELECT user_id, status, last_event FROM ("
+    " SELECT user_id, CAST(event_id % 5 AS INT) AS status, event_id AS last_event,"
+    " row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn"
+    " FROM events) t WHERE rn = 1",
+)
+def k3_status_transitions(spark, sf):
+    e = _t(spark, sf, "events")
+    updates = e.select(
+        "user_id",
+        F.pmod("event_id", F.lit(5)).cast("int").alias("status"),
+        F.col("event_id"),
+    )
+    out = latest_status(updates, ["user_id"], "event_id")
+    return out.select("user_id", "status", F.col("event_id").alias("last_event"))
+
+
+_SHOW_BASE = "https://podcasts.apple.com/us/podcast/"
+
+_E2_URL_SQL = (
+    "CASE"
+    f" WHEN event_id % 10 <= 3 THEN '{_SHOW_BASE}s' || CAST(event_id AS VARCHAR)"
+    " || '/id' || CAST(1000 + event_id % 50 AS VARCHAR)"
+    f" WHEN event_id % 10 = 4 THEN '{_SHOW_BASE}s' || CAST(event_id - 4 AS VARCHAR)"
+    " || '/id' || CAST(1000 + (event_id - 4) % 50 AS VARCHAR)"
+    f" WHEN event_id % 10 = 5 THEN '{_SHOW_BASE}s' || CAST(event_id AS VARCHAR) || '/idless'"
+    " WHEN event_id % 10 = 6 THEN ''"
+    " WHEN event_id % 10 = 7 THEN 'ftp://x.example/y'"
+    f" WHEN event_id % 10 = 8 THEN '{_SHOW_BASE}s' || CAST(event_id AS VARCHAR)"
+    " || '/id' || CAST(1000 + event_id % 50 AS VARCHAR) || '?x=1'"
+    f" ELSE '{_SHOW_BASE}s' || CAST(event_id AS VARCHAR)"
+    " || '/id' || CAST(700000 + event_id AS VARCHAR) END"
+)
+
+
+def _e2_candidates(e):
+    m = F.pmod("event_id", F.lit(10))
+    eid = F.col("event_id").cast("string")
+    uid_small = (F.lit(1000) + F.pmod("event_id", F.lit(50))).cast("string")
+    dup_eid = (F.col("event_id") - 4).cast("string")
+    dup_uid = (F.lit(1000) + F.pmod(F.col("event_id") - 4, F.lit(50))).cast("string")
+    url = (
+        F.when(m <= 3, F.concat(F.lit(f"{_SHOW_BASE}s"), eid, F.lit("/id"), uid_small))
+        .when(m == 4, F.concat(F.lit(f"{_SHOW_BASE}s"), dup_eid, F.lit("/id"), dup_uid))
+        .when(m == 5, F.concat(F.lit(f"{_SHOW_BASE}s"), eid, F.lit("/idless")))
+        .when(m == 6, F.lit(""))
+        .when(m == 7, F.lit("ftp://x.example/y"))
+        .when(m == 8, F.concat(F.lit(f"{_SHOW_BASE}s"), eid, F.lit("/id"), uid_small, F.lit("?x=1")))
+        .otherwise(
+            F.concat(F.lit(f"{_SHOW_BASE}s"), eid, F.lit("/id"),
+                     (F.lit(700000) + F.col("event_id")).cast("string"))
+        )
+    )
+    return e.select(F.col("event_id").cast("long").alias("ord"), url.alias("url"))
+
+
+@q(
+    "e2_seed_discovery",
+    # E2 end-to-end: P1 filter -> P4 extract -> sequential OR dedupe ->
+    # status-1 insert.  Because uid is a FUNCTION of url here (as in the
+    # reference), the sequential batch scan reduces exactly to
+    # first-per-url then first-per-uid — replayed below with windows.
+    "WITH c AS (SELECT event_id AS ord, " + _E2_URL_SQL + " AS url FROM events),"
+    " f AS (SELECT ord, url, regexp_extract(url, '/id([0-9]+)$', 1) AS uid FROM c"
+    "  WHERE url <> '' AND url LIKE 'http%'),"
+    " sn AS (SELECT " + _E2_URL_SQL + " AS url,"
+    "  CAST(1000 + event_id % 50 AS VARCHAR) AS uid FROM events WHERE event_id % 50 = 0),"
+    " g AS (SELECT * FROM f WHERE url NOT IN (SELECT url FROM sn)"
+    "  AND uid NOT IN (SELECT uid FROM sn)),"
+    " h AS (SELECT *, row_number() OVER (PARTITION BY url ORDER BY ord) AS r1 FROM g),"
+    " i AS (SELECT ord, url, uid, row_number() OVER (PARTITION BY uid ORDER BY ord) AS r2"
+    "  FROM h WHERE r1 = 1)"
+    " SELECT ord, url, uid, 1 AS status FROM i WHERE r2 = 1",
+)
+def e2_seed_discovery(spark, sf):
+    e = _t(spark, sf, "events")
+    cand = _e2_candidates(e)
+    seen = _e2_candidates(e.where(F.pmod("event_id", F.lit(50)) == 0)).select(
+        "url",
+        (F.lit(1000) + F.pmod(F.col("ord"), F.lit(50))).cast("string").alias("uid"),
+    )
+    return run_seed_discovery(cand, seen)
+
+
+@q(
+    "p9_asset_paths",
+    "SELECT id, local_path, cos_key FROM (SELECT"
+    " 'Podcast_' || CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS id,"
+    " 'downloads/Podcast_' || CAST(user_id AS VARCHAR) || '/Podcast_'"
+    "  || CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) || '.mp3' AS local_path,"
+    " 'cos/Podcast_' || CAST(user_id AS VARCHAR) || '/Podcast_'"
+    "  || CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) || '.mp3' AS cos_key"
+    " FROM events) t",
+)
+def p9_asset_paths(spark, sf):
+    e = _t(spark, sf, "events")
+    eps = e.select(
+        F.concat(
+            F.lit("Podcast_"), F.col("user_id").cast("string"),
+            F.lit("_"), F.col("event_id").cast("string"),
+        ).alias("id")
+    )
+    return asset_paths(eps).select("id", "local_path", "cos_key")
+
+
+_UA_LIST = [f"Mozilla/5.0 (Engine; rv:{i}.0) Crawler/{i}.0" for i in range(8)]
+
+
+@q(
+    "p11_ua_rotation",
+    "SELECT event_id, (["
+    + ", ".join(f"'{a}'" for a in _UA_LIST)
+    + "])[CAST(event_id % 8 AS INT) + 1] AS ua FROM events",
+)
+def p11_ua_rotation(spark, sf):
+    e = _t(spark, sf, "events")
+    url = F.concat(F.lit("https://h.example/p/"), F.col("event_id").cast("string"))
+    return e.select(
+        "event_id",
+        U.user_agent_for(url, _UA_LIST, index_expr=F.pmod("event_id", F.lit(8))).alias("ua"),
+    )
+
+
+@q(
+    "k4_download_ledger",
+    # crawler_download_info shape: P9 paths + info JSON + lifecycle,
+    # skip-if-exists against the current ledger (D2).
+    "WITH eps AS (SELECT 'Podcast_' || CAST(doc_id % 100 AS VARCHAR) || '_'"
+    "  || CAST(doc_id AS VARCHAR) AS id,"
+    " 'https://assets.example/a/' || CAST(doc_id AS VARCHAR) || '.mp3' AS asset_url,"
+    " 't' || CAST(doc_id AS VARCHAR) AS title,"
+    " 'a' || CAST(doc_id % 10 AS VARCHAR) AS author,"
+    " doc_id * 1000 AS duration, doc_id FROM documents)"
+    " SELECT id, asset_url,"
+    " 'downloads/Podcast_' || CAST(doc_id % 100 AS VARCHAR) || '/' || id || '.mp3' AS local_path,"
+    " 'cos/Podcast_' || CAST(doc_id % 100 AS VARCHAR) || '/' || id || '.mp3' AS cos_key,"
+    " to_json(struct_pack(title := title, author := author,"
+    "   duration := CAST(duration AS BIGINT))) AS info,"
+    " 0 AS status, 0 AS lock FROM eps WHERE doc_id % 7 <> 0",
+)
+def k4_download_ledger(spark, sf):
+    d = _t(spark, sf, "documents")
+    eps = d.select(
+        F.concat(
+            F.lit("Podcast_"), F.pmod("doc_id", F.lit(100)).cast("string"),
+            F.lit("_"), F.col("doc_id").cast("string"),
+        ).alias("id"),
+        F.concat(F.lit("https://assets.example/a/"), F.col("doc_id").cast("string"),
+                 F.lit(".mp3")).alias("asset_url"),
+        F.concat(F.lit("t"), F.col("doc_id").cast("string")).alias("title"),
+        F.concat(F.lit("a"), F.pmod("doc_id", F.lit(10)).cast("string")).alias("author"),
+        (F.col("doc_id") * 1000).alias("duration"),
+        "doc_id",
+    )
+    existing = eps.where(F.pmod("doc_id", F.lit(7)) == 0).select("id")
+    return build_download_ledger(eps.drop("doc_id"), existing)
 
 
 # ----------------------------------------------------- TPC-H style joins

@@ -27,15 +27,15 @@ Design
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.urls import canonicalize_url, host_of
-from ..operators.bloom import build_bloom_shards, bloom_gated_anti_join
-from ..operators.politeness import politeness_gate
+from ..operators.bloom import BloomShards, build_bloom_shards, bloom_gated_anti_join
+from ..operators.politeness import politeness_gate, release_rank_cache
 
 CANDIDATE_SCHEMA = "url STRING, priority INT, discovered_ts TIMESTAMP"
 
@@ -45,9 +45,53 @@ class StreamConfig:
     seen_dir: str                 # persistent URL-seen set (parquet)
     out_dir: str                  # scheduled-URL sink (parquet, per-batch subdirs)
     checkpoint_dir: str           # Structured Streaming offset/commit log
+    carry_dir: str | None = None  # politeness-deferred carry-over (default: <out_dir>_carry)
     default_budget: int = 1_000_000
     bloom_shards: int = 32
     bloom_threshold: int = 100_000  # build a Bloom gate only past this seen-set size
+    rebuild_every: int = 16         # full seen re-read + Bloom rebuild cadence
+
+    def resolved_carry_dir(self) -> str:
+        return self.carry_dir or f"{self.out_dir}_carry"
+
+
+@dataclass
+class _SeenState:
+    """Compacted seen-set state, kept across micro-batches so a batch
+    is O(batch + recent tail), not O(full history): ``base`` is the
+    persisted full-history frame (re-read every ``rebuild_every``
+    batches), ``bloom`` gates against it, and ``recent`` is the exact
+    small tail appended since the last rebuild (the Bloom does not
+    cover it, so it is anti-joined exactly — staleness can never leak
+    a duplicate)."""
+    base: DataFrame | None = None
+    n_base: int = 0
+    bloom: BloomShards | None = None
+    recent_parts: list[tuple[int, DataFrame]] = field(default_factory=list)
+    rebuild_batch: int = -1
+    n_rebuilds: int = 0
+
+
+# One state per seen_dir; foreachBatch runs batches sequentially per
+# query, so no locking.  A fresh process starts empty and rebuilds from
+# disk on its first batch (crash/replay safe).
+_seen_states: dict[str, _SeenState] = {}
+
+
+def reset_seen_state(seen_dir: str | None = None) -> None:
+    for key in [seen_dir] if seen_dir else list(_seen_states):
+        st = _seen_states.pop(key, None)
+        if st is not None and st.base is not None:
+            st.base.unpersist()
+
+
+def seen_state_stats(seen_dir: str) -> dict:
+    st = _seen_states.get(seen_dir)
+    return {
+        "n_rebuilds": st.n_rebuilds if st else 0,
+        "n_recent_parts": len(st.recent_parts) if st else 0,
+        "n_base": st.n_base if st else 0,
+    }
 
 
 def _read_seen(spark: SparkSession, seen_dir: str, exclude_batch: int) -> DataFrame:
@@ -65,30 +109,75 @@ def _read_seen(spark: SparkSession, seen_dir: str, exclude_batch: int) -> DataFr
     return spark.createDataFrame([], "fetch_url STRING")
 
 
+def _latest_carry(spark: SparkSession, carry_dir: str, batch_id: int) -> DataFrame | None:
+    """Deferred rows carried from the most recent prior batch.  Each
+    batch's carry output subsumes all earlier ones (still-deferred rows
+    re-enter candidates and are re-deferred), so only the latest dir
+    below ``batch_id`` is read — O(pending), not O(history)."""
+    if not os.path.isdir(carry_dir):
+        return None
+    prior = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(carry_dir)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+    ]
+    if not prior:
+        return None
+    return spark.read.parquet(f"{carry_dir}/batch_id={max(prior)}").select(
+        "fetch_url", "priority"
+    )
+
+
 def process_candidate_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, cfg: StreamConfig
 ) -> None:
     """One micro-batch of the frontier stream (also callable directly —
     the unit tests drive it both ways)."""
-    cand = (
-        batch_df.select(
-            canonicalize_url(F.col("url")).alias("fetch_url"),
-            F.col("priority"),
-        )
-        .dropDuplicates(["fetch_url"])
+    st = _seen_states.setdefault(cfg.seen_dir, _SeenState())
+    batch_caches: list[DataFrame] = []
+
+    cand = batch_df.select(
+        canonicalize_url(F.col("url")).alias("fetch_url"),
+        F.col("priority"),
     )
-    seen = _read_seen(spark, cfg.seen_dir, exclude_batch=batch_id)
+    carry = _latest_carry(spark, cfg.resolved_carry_dir(), batch_id)
+    if carry is not None:
+        cand = cand.unionByName(carry)
+    cand = cand.dropDuplicates(["fetch_url"])
 
-    n_seen = seen.count()
-    if n_seen >= cfg.bloom_threshold:
-        bloom = build_bloom_shards(
-            seen, "fetch_url", n_shards=cfg.bloom_shards, expected_items=n_seen
+    if st.base is None or batch_id - st.rebuild_batch >= cfg.rebuild_every:
+        if st.base is not None:
+            st.base.unpersist()
+        st.base = _read_seen(spark, cfg.seen_dir, exclude_batch=batch_id).persist()
+        st.n_base = st.base.count()
+        st.bloom = (
+            build_bloom_shards(
+                st.base, "fetch_url", n_shards=cfg.bloom_shards,
+                expected_items=st.n_base,
+            )
+            if st.n_base >= cfg.bloom_threshold
+            else None
         )
-        fresh = bloom_gated_anti_join(cand, seen, bloom, "fetch_url")
-    else:
-        fresh = cand.join(seen, "fetch_url", "left_anti")
+        st.recent_parts = []
+        st.rebuild_batch = batch_id
+        st.n_rebuilds += 1
 
-    scheduled, _deferred = politeness_gate(
+    if st.bloom is not None:
+        fresh = bloom_gated_anti_join(
+            cand, st.base, st.bloom, "fetch_url", cache_registry=batch_caches
+        )
+    else:
+        fresh = cand.join(st.base, "fetch_url", "left_anti")
+    # Exact anti-join against the small recent tail (not Bloom-covered;
+    # skip a replayed batch's own earlier output).
+    tail = [p for bid, p in st.recent_parts if bid != batch_id]
+    if tail:
+        recent = tail[0]
+        for p in tail[1:]:
+            recent = recent.unionByName(p)
+        fresh = fresh.join(recent, "fetch_url", "left_anti")
+
+    scheduled, deferred = politeness_gate(
         fresh, None, default_budget=cfg.default_budget
     )
     # Idempotent per-batch dirs: a replayed batch overwrites its own
@@ -98,6 +187,25 @@ def process_candidate_batch(
     scheduled.select("fetch_url").write.mode("overwrite").parquet(
         f"{cfg.seen_dir}/batch_id={batch_id}"
     )
+    # Over-budget rows are NOT lost: they carry over and are unioned
+    # into the next batch's candidates (batch analog of the wave loop's
+    # deferred-rows union).
+    deferred.select("fetch_url", "priority").write.mode("overwrite").parquet(
+        f"{cfg.resolved_carry_dir()}/batch_id={batch_id}"
+    )
+
+    # Track this batch's seen rows as disk-backed recent tail.
+    st.recent_parts = [(b, p) for b, p in st.recent_parts if b != batch_id]
+    st.recent_parts.append(
+        (batch_id, spark.read.parquet(f"{cfg.seen_dir}/batch_id={batch_id}"))
+    )
+
+    # Outputs are on disk — release this batch's cached intermediates
+    # (rank cache + probed frame); a long-running stream must not
+    # accumulate storage memory per batch.
+    release_rank_cache()
+    for df in batch_caches:
+        df.unpersist()
 
 
 def run_frontier_stream(

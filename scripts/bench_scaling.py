@@ -30,7 +30,9 @@ def run_frontier(cpus: int, n_urls: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_ONLY_FRONTIER="1",
         BENCH_FRONTIER_URLS=str(n_urls),
-        BENCH_REPS=env.get("BENCH_REPS", "2"),
+        # best-of-3 in-JVM: steady state takes ~3 reps to reach on this
+        # VM (page-fault stalls decay as the footprint provisions)
+        BENCH_REPS=env.get("BENCH_REPS", "3"),
         # identical partitioning in both legs: partitions follow the
         # data; otherwise the small config spills and the ratio lies
         SPARK_GRAFT_SHUFFLE=env.get("SPARK_GRAFT_SHUFFLE", "64"),
@@ -119,7 +121,7 @@ Methodology notes
 - Identical partitioning in BOTH configs (64 shuffle partitions —
   partitions follow the data, not the core count, as on a real
   cluster); each JVM warms up untimed (Python worker fork + JIT) and
-  its figure is best-of-{os.environ.get("BENCH_REPS", "2")} in-JVM runs.
+  its figure is best-of-{os.environ.get("BENCH_REPS", "3")} in-JVM runs.
 - Legs alternate and the best sample per config is compared, because
   this sandbox VM provisions guest memory lazily and erratically
   (first-touch stalls) — the full sample table above shows the spread.

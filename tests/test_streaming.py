@@ -20,6 +20,8 @@ from crawler_apple_podcast_spark.streaming import (
 from crawler_apple_podcast_spark.streaming.frontier_stream import (
     CANDIDATE_SCHEMA,
     process_candidate_batch,
+    reset_seen_state,
+    seen_state_stats,
 )
 
 
@@ -89,6 +91,64 @@ def test_stream_in_batch_dedupe_and_idempotent_replay(spark, tmp_path):
     process_candidate_batch(spark, batch, 0, cfg)
     n2 = spark.read.parquet(cfg.out_dir).count()
     assert n1 == n2 == 2
+
+
+def test_deferred_rows_carry_over_to_next_batch(spark, tmp_path):
+    """Over-budget rows must not be lost: they carry into the next
+    micro-batch's candidates until scheduled (ADVICE r01)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    cfg.default_budget = 2
+    rows = [(f"https://one.example/p/{i}", i, TS) for i in range(5)]
+    batch0 = spark.createDataFrame(rows, CANDIDATE_SCHEMA)
+    empty = spark.createDataFrame([], CANDIDATE_SCHEMA)
+    process_candidate_batch(spark, batch0, 0, cfg)
+    assert spark.read.parquet(f"{cfg.out_dir}/batch_id=0").count() == 2
+    process_candidate_batch(spark, empty, 1, cfg)  # drains carried rows
+    process_candidate_batch(spark, empty, 2, cfg)
+    out = spark.read.parquet(cfg.out_dir)
+    urls = sorted(r["fetch_url"] for r in out.collect())
+    assert len(urls) == 5 and len(set(urls)) == 5
+    # priority order respected: batch 0 scheduled the two best priorities
+    first = {r["fetch_url"] for r in spark.read.parquet(f"{cfg.out_dir}/batch_id=0").collect()}
+    assert first == {"https://one.example/p/0", "https://one.example/p/1"}
+
+
+def test_seen_state_compaction_bounded_rebuilds(spark, tmp_path):
+    """Per-batch work stays O(batch + recent tail): the full seen dir
+    is re-read only every ``rebuild_every`` batches, never per batch."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    cfg.rebuild_every = 3
+    reset_seen_state(cfg.seen_dir)
+    for b in range(7):
+        rows = [(f"https://h.example/p/{b}-{i}", 0, TS) for i in range(4)]
+        # every batch re-offers batch 0's urls: must stay deduped
+        rows += [(f"https://h.example/p/0-{i}", 0, TS) for i in range(4)]
+        process_candidate_batch(
+            spark, spark.createDataFrame(rows, CANDIDATE_SCHEMA), b, cfg
+        )
+    out = spark.read.parquet(cfg.out_dir)
+    assert out.count() == 7 * 4
+    stats = seen_state_stats(cfg.seen_dir)
+    # batches 0..6 with rebuild_every=3 -> rebuilds at 0, 3, 6 only
+    assert stats["n_rebuilds"] == 3
+    assert stats["n_recent_parts"] <= 3
+
+
+def test_fresh_process_replay_rebuilds_from_disk(spark, tmp_path):
+    """Crash-restart analog: state reset, a replayed batch still
+    excludes its own prior output and reproduces it identically."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    rows = [(f"https://h.example/p/{i}", 0, TS) for i in range(6)]
+    process_candidate_batch(spark, spark.createDataFrame(rows[:3], CANDIDATE_SCHEMA), 0, cfg)
+    process_candidate_batch(spark, spark.createDataFrame(rows[3:], CANDIDATE_SCHEMA), 1, cfg)
+    reset_seen_state(cfg.seen_dir)  # "new process"
+    process_candidate_batch(spark, spark.createDataFrame(rows[3:], CANDIDATE_SCHEMA), 1, cfg)
+    out = spark.read.parquet(cfg.out_dir)
+    assert out.count() == 6
+    assert spark.read.parquet(f"{cfg.out_dir}/batch_id=1").count() == 3
 
 
 def test_host_rate_metrics_windowing(spark):

@@ -84,6 +84,26 @@ def test_canonicalize_url(spark):
     assert got[2] == "https://example.com/x?z=1"
 
 
+def test_canonicalize_preserves_nondefault_ports(spark):
+    """Non-default ports are distinct origins: they must NOT collapse
+    into the portless canonical form (a collision would silently drop
+    the URL from scheduling via the seen-set)."""
+    urls = [
+        "https://h.example:8080/a",
+        "https://h.example/a",
+        "http://h.example:443/a",   # 443 is NOT default for http
+        "https://h.example:80/a",   # 80 is NOT default for https
+        "HTTP://H.Example:80/a",    # default -> stripped
+    ]
+    got = _col(spark, urls, U.canonicalize_url)
+    assert got[0] == "https://h.example:8080/a"
+    assert got[1] == "https://h.example/a"
+    assert got[2] == "http://h.example:443/a"
+    assert got[3] == "https://h.example:80/a"
+    assert got[4] == "http://h.example/a"
+    assert len(set(got)) == 5
+
+
 def test_url_hash_deterministic_and_seeded(spark):
     urls = ["https://a/1", "https://a/2"]
     h0 = _col(spark, urls, U.url_hash)
