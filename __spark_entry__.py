@@ -69,7 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (same column names).  Keys
-    absent here (``dedup_simhash``, ``ann_lsh_bucketed``) are hash-based
-    operators not expressible in the oracle — rows-only check."""
+    """DuckDB-runnable ANSI SQL equivalents (same column names).  As of
+    round 2 every ``queries()`` key has a full value oracle — including
+    ``dedup_simhash`` (arithmetic bit family replayed as SQL literals)
+    and ``ann_lsh_bucketed`` (integer hyperplanes embedded as list
+    literals)."""
     return _catalog.oracle_sql()

@@ -45,8 +45,8 @@ def test_every_query_has_callable_and_alias_consistency():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # only hash-based ops may omit the oracle
-    assert set(qs) - set(oracles) == {"dedup_simhash", "ann_lsh_bucketed"}
+    # round 2: every query has a full value oracle
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize("name", SUBSET)
