@@ -51,3 +51,51 @@ def test_shard_rows_roundtrip(spark):
     rows = bloom.to_rows()
     assert len(rows) <= 4
     assert all(len(bits) == (1 << 12) // 8 for _, bits, _ in rows)
+
+
+def test_partitioned_probe_no_false_negatives(spark):
+    from crawler_apple_podcast_spark.operators.bloom import (
+        build_bloom_shard_rows,
+        partitioned_probe_bloom,
+    )
+
+    seen = _urls(spark, 500, "seen")
+    rows, m = build_bloom_shard_rows(seen, n_shards=8, m_bits=1 << 14, k=5)
+    probed = partitioned_probe_bloom(seen, rows, m, 5, 8)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_partitioned_anti_join_equals_exact_and_broadcast(spark):
+    """The 10^10 path (co-grouped shard probe, no driver assembly, no
+    broadcast) returns exactly the exact anti-join, including with a
+    deliberately tiny (FP-heavy) filter and empty shards."""
+    from crawler_apple_podcast_spark.operators.bloom import (
+        build_bloom_shard_rows,
+        partitioned_bloom_anti_join,
+    )
+
+    seen = _urls(spark, 400, "seen")
+    new = _urls(spark, 300, "seen").unionAll(_urls(spark, 200, "new"))
+    rows, m = build_bloom_shard_rows(seen, n_shards=16, m_bits=1 << 10, k=3)
+    got = sorted(
+        r.url for r in partitioned_bloom_anti_join(new, seen, rows, m, 3, 16).collect()
+    )
+    want = sorted(r.url for r in new.join(seen, "url", "left_anti").collect())
+    assert got == want and len(got) == 200
+    bloom = build_bloom_shards(seen, n_shards=16, m_bits=1 << 10, k=3)
+    bc = sorted(r.url for r in bloom_gated_anti_join(new, seen, bloom).collect())
+    assert bc == got
+
+
+def test_partitioned_probe_preserves_extra_columns(spark):
+    from crawler_apple_podcast_spark.operators.bloom import (
+        build_bloom_shard_rows,
+        partitioned_probe_bloom,
+    )
+
+    seen = _urls(spark, 50, "seen")
+    new = _urls(spark, 30, "new").withColumn("priority", F.pmod(F.xxhash64("url"), F.lit(5)))
+    rows, m = build_bloom_shard_rows(seen, n_shards=4, m_bits=1 << 13, k=4)
+    probed = partitioned_probe_bloom(new, rows, m, 4, 4)
+    assert set(probed.columns) == {"url", "priority", "maybe_seen"}
+    assert probed.count() == 30
