@@ -45,13 +45,16 @@ def run_seed_discovery(
         & (F.col("url") != "")
         & F.col("url").startswith("http")
     )
-    # O2 result window on the discovery order.
+    # O2 result window on the discovery order: distributed top-`stop`
+    # (TakeOrderedAndProject) before ranking the bounded slice — the
+    # global row_number window never sees the full candidate stream.
     if result_window is not None:
         start, stop = result_window
+        top = cand.orderBy("ord").limit(stop)
         w = Window.orderBy("ord")
         cand = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") > start) & (F.col("_rn") <= stop))
+            top.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > start)
             .drop("_rn")
         )
     # P4 user-id extract; D1 sequential OR-dedupe (exact batch replay).

@@ -383,11 +383,16 @@ def o1_order_parity_key(spark, sf):
     " WHERE rnk > 10 AND rnk <= 50",
 )
 def o2_result_window_limit(spark, sf):
+    """Result-window slice [start, stop): distributed top-`stop` first
+    (TakeOrderedAndProject — per-partition top-k + merge, never a
+    global single-partition window over the full table), then rank the
+    tiny `stop`-row result."""
     o = _t(spark, sf, "orders")
+    top = o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(50)
     w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where((F.col("rnk") > 10) & (F.col("rnk") <= 50))
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") > 10)
         .select("rnk", "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents"))
     )
 
