@@ -58,6 +58,33 @@ def merge_status(
     )
 
 
+def invalid_transitions(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """Updates that are not a legal lifecycle step from the key's
+    current status (per VALID_TRANSITIONS).  The reference applies raw
+    UPDATEs unchecked; this is the observability guard an operator
+    wants before merging — join it out or alert on it."""
+    cur = current.select(
+        *key_cols, F.col(status_col).alias("_cur_status")
+    )
+    joined = updates.join(cur, key_cols, "left")
+    cond = None
+    for frm, tos in VALID_TRANSITIONS.items():
+        if not tos:
+            continue
+        c = (F.col("_cur_status") == frm) & F.col(status_col).isin(*tos)
+        cond = c if cond is None else (cond | c)
+    # unknown keys are inserts: only PENDING (1) is a legal first state
+    cond = cond | (F.col("_cur_status").isNull() & (F.col(status_col) == STATUS_PENDING))
+    # coalesce: for inserts the _cur_status comparisons are NULL, and
+    # where(~NULL) would silently drop the row instead of flagging it
+    return joined.where(~F.coalesce(cond, F.lit(False))).drop("_cur_status")
+
+
 def latest_status(status_rows: DataFrame, key_cols: list[str], ts_col: str = "wave") -> DataFrame:
     """Current status from an append-only status-delta table (the
     committed ``url_status`` wave partitions): latest row per key."""

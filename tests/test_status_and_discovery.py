@@ -75,6 +75,24 @@ def test_wave_loop_commits_status_and_survives_resume(spark, corpus, tmp_path):
             assert vals2[k] == v  # terminal statuses survive the resume
 
 
+def test_invalid_transitions_flags_illegal_steps(spark):
+    from crawler_apple_podcast_spark.plans.status import invalid_transitions
+
+    cur = spark.createDataFrame(
+        [("a", 1, 1), ("b", 3, 1), ("c", 2, 1)], "key STRING, status INT, update_ts INT"
+    )
+    upd = spark.createDataFrame(
+        [("a", 2, 2),   # pending -> processing: legal
+         ("b", 1, 2),   # ok -> pending: ILLEGAL (terminal)
+         ("c", 3, 2),   # processing -> ok: legal
+         ("d", 1, 2),   # insert as pending: legal
+         ("e", 3, 2)],  # insert straight to ok: ILLEGAL
+        "key STRING, status INT, update_ts INT",
+    )
+    bad = sorted(r.key for r in invalid_transitions(cur, upd, ["key"]).collect())
+    assert bad == ["b", "e"]
+
+
 # ------------------------------------------------------------------ E2
 
 def _discover(spark, urls, seen_rows):
