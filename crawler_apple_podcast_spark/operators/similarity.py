@@ -4,15 +4,20 @@ Scale-first designs, all DataFrame-native where possible:
 
 - exact dedup            hash-groupBy (md5 of normalized text)
 - n-gram Jaccard         shingle explode + self-join (the exact oracle)
-- MinHash + LSH          seeded ``xxhash64`` signature (JVM-side, no
-                         Python), banded bucket join for candidates,
-                         exact-Jaccard confirmation — like the Bloom
+- MinHash + LSH          hash-chained shingle signatures (JVM-side, no
+                         distinct, no n-gram strings), banded bucket
+                         join for candidates, exact set-array confirm
+                         restricted to candidate docs — like the Bloom
                          gate, the approximate stage only *prunes*, so
                          the output equals the exact computation
-- SimHash                64 per-bit aggregates -> fingerprint; chunked
-                         pigeonhole candidate join + exact Hamming
+- SimHash                64 per-bit aggregates -> fingerprint; 4x16-bit
+                         pigeonhole blocking + exact Hamming; the
+                         ``simhash_arith`` variant uses an LCG-seeded
+                         arithmetic bit family the SQL oracle replays
 - ANN cosine top-k       brute-force zip_with/aggregate baseline and an
-                         LSH-bucketed (random hyperplane) scale path
+                         LSH-bucketed scale path (integer-quantized
+                         hyperplanes, ±1-bit multiprobe, measured
+                         recall)
 
 All thresholds use integer per-mille arithmetic so results are exactly
 reproducible in the DuckDB oracle.
