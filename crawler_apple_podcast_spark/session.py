@@ -39,6 +39,10 @@ def get_spark(
     # local-mode driver == the one executor; the 1g default heap falls
     # over at local[32] working sets (only effective at JVM launch).
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Optional extra JVM flags (e.g. "-Xms16g -XX:+AlwaysPreTouch" so
+    # the bench provisions the whole heap during untimed warmup — this
+    # sandbox VM faults-in guest memory lazily and erratically).
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -56,6 +60,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

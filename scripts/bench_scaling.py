@@ -38,6 +38,12 @@ def run_frontier(cpus: int, n_urls: int) -> dict:
         # 256 (not 2x cores): finer tasks smooth this VM's random
         # multi-second page-fault stragglers for BOTH legs.
         SPARK_GRAFT_SHUFFLE=env.get("SPARK_GRAFT_SHUFFLE", "256"),
+        # pre-provision the whole heap during untimed warmup: this VM
+        # faults-in guest pages lazily at erratic rates, which adds a
+        # core-count-INDEPENDENT stall to every leg and poisons ratios
+        SPARK_GRAFT_DRIVER_JAVA_OPTS=env.get(
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms16g -XX:+AlwaysPreTouch"
+        ),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
