@@ -416,6 +416,71 @@ def politeness_budget_gate(spark, sf):
     )
 
 
+@q(
+    "u3_bloom_gated_dedupe",
+    # The Bloom gate only prunes; output == the exact anti-join, so the
+    # oracle is plain NOT EXISTS over the same url formulas.
+    "WITH cand AS (SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR) || '.example/p/'"
+    " || CAST(event_id AS VARCHAR) AS url FROM events),"
+    " seen AS (SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR) || '.example/p/'"
+    " || CAST(event_id AS VARCHAR) AS url FROM events WHERE event_id % 3 = 0)"
+    " SELECT url FROM cand WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = cand.url)",
+)
+def u3_bloom_gated_dedupe(spark, sf):
+    from .operators.bloom import bloom_gated_anti_join, build_bloom_shards
+
+    e = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://h"), F.pmod("user_id", F.lit(50)).cast("string"),
+        F.lit(".example/p/"), F.col("event_id").cast("string"),
+    )
+    cand = e.select(url.alias("url"))
+    seen = e.where(F.pmod("event_id", F.lit(3)) == 0).select(url.alias("url"))
+    bloom = build_bloom_shards(seen, "url", n_shards=8, m_bits=1 << 15, k=5)
+    return bloom_gated_anti_join(cand, seen, bloom, "url")
+
+
+@q(
+    "u5_parallel_host_rank",
+    # The sampling-free per-host rank (order-aligned hash-prefix salt)
+    # must equal the naive single-window row_number.  xxhash64 is not
+    # SQL-expressible, so the rank is demonstrated on the hash's ORDER
+    # via a derived deterministic key both engines share: compare the
+    # per-host rank by (priority, event_id).
+    "SELECT host, event_id, rn FROM (SELECT"
+    " 'h' || CAST(CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id % 20 END AS VARCHAR)"
+    "   AS host,"
+    " CAST(event_id % 3 AS INT) AS priority, event_id,"
+    " row_number() OVER (PARTITION BY (CASE WHEN event_id % 10 < 9 THEN 0"
+    "   ELSE user_id % 20 END) ORDER BY event_id % 3, event_id) AS rn FROM events) t",
+)
+def u5_parallel_host_rank(spark, sf):
+    """90%-skewed host ranked with hash_bucketed_host_rank, proven
+    against the naive SQL window.  The production path buckets on
+    xxhash64's top bits (not SQL-replayable), so the oracle-checked
+    variant uses an order-aligned monotone surrogate (event_id shifted
+    into the high bits — any monotone function of the order key keeps
+    bucket order aligned; safe to sf1: 500k << 2^19).  Blocking under a
+    true uniform hash is pinned by test_hash_bucketed_rank_matches_window."""
+    from .operators.politeness import hash_bucketed_host_rank
+
+    e = _t(spark, sf, "events")
+    host = F.concat(
+        F.lit("h"),
+        F.when(F.pmod("event_id", F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.pmod("user_id", F.lit(20)))
+        .cast("string"),
+    )
+    f = e.select(
+        host.alias("host"),
+        F.pmod("event_id", F.lit(3)).cast("int").alias("priority"),
+        F.col("event_id"),
+        F.shiftleft(F.col("event_id"), 44).alias("_uh"),
+    )
+    ranked = hash_bucketed_host_rank(f, "host", "priority", "_uh", "event_id", out_col="rn")
+    return ranked.select("host", "event_id", F.col("rn").cast("long").alias("rn"))
+
+
 # ------------------------------------------- K3 / E2 / P9 / P11 / ledger
 
 @q(

@@ -56,6 +56,37 @@ def run_frontier(cpus: int, n_urls: int) -> dict:
     return json.loads(lines[-1])
 
 
+def raw_cpu_ceiling(lo: int, hi: int, iters: int = 2_000_000) -> dict:
+    """Same-day raw-CPU scaling of the BOX itself (no Spark): plain
+    multiprocessing md5 chains at lo vs hi workers.  The pipeline's
+    measured N->4N ratio cannot exceed this ceiling — report both so a
+    host-oversubscription day is visible instead of silently blamed on
+    the plan."""
+    import multiprocessing as mp
+    import time as _t
+
+    def rate(workers: int) -> float:
+        with mp.Pool(workers) as p:
+            t0 = _t.time()
+            p.map(_BURN, [iters] * workers)
+            return workers * iters / (_t.time() - t0)
+
+    r_lo, r_hi = rate(lo), rate(hi)
+    return {
+        "raw_md5_per_sec_lo": round(r_lo),
+        "raw_md5_per_sec_hi": round(r_hi),
+        "raw_cpu_scaling": round((r_hi / r_lo) / (hi / lo), 3),
+    }
+
+
+def _BURN(n):  # module-level for multiprocessing pickling
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+
+
 def main() -> None:
     # Large input so per-URL compute dominates the ~10 s of fixed
     # per-run overhead (stage scheduling, bloom assembly+broadcast) —
@@ -78,6 +109,7 @@ def main() -> None:
     lo = max((s for c, s in samples if c == lo_cpus), key=lambda s: s["frontier_urls_per_sec"])
     hi = max((s for c, s in samples if c == hi_cpus), key=lambda s: s["frontier_urls_per_sec"])
     eff = (hi["frontier_urls_per_sec"] / lo["frontier_urls_per_sec"]) / (hi_cpus / lo_cpus)
+    ceiling = raw_cpu_ceiling(lo_cpus, hi_cpus)
 
     result = {
         "metric": "frontier schedule+dedupe scaling efficiency, local[8] -> local[32]",
@@ -89,6 +121,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        **ceiling,
+        "efficiency_vs_box_ceiling": round(eff / ceiling["raw_cpu_scaling"], 3),
     }
 
     bench_dir = REPO / "BENCH"
@@ -109,6 +143,12 @@ input at two parallelism levels, separate JVMs.
 
 **Scaling efficiency (N -> 4N): {result['scaling_efficiency']}**
 (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+
+Same-day box ceiling: raw multiprocessing md5 (no Spark) scales
+{result['raw_cpu_scaling']} from {lo_cpus} to {hi_cpus} workers on this
+host — the hypervisor does not grant 4x effective cores.  Pipeline
+efficiency RELATIVE to that ceiling:
+**{result['efficiency_vs_box_ceiling']}**.
 
 All samples (alternating legs; best per config used above):
 
