@@ -148,15 +148,16 @@ def bench_frontier(spark, n_urls: int) -> dict:
     }
 
 
-def synth_docs(spark, n: int):
+def synth_docs(spark, n: int, group: int = 1000):
     """Near-dup corpus with shared-boilerplate skew, generated
-    executor-side.  Docs in groups of 200 share a 5-token boilerplate
-    prefix — 3 shingles common to 200 docs each, the shape that makes
-    the exact shingle self-join quadratic per group (real-corpus
-    boilerplate: headers, licenses, templates).  5% of docs are
-    near-copies of their predecessor (jaccard ~0.85)."""
+    executor-side.  Docs in groups of ``group`` share a 5-token
+    boilerplate prefix — 3 shingles common to ``group`` docs each, the
+    shape that makes the exact shingle self-join quadratic per group
+    (real-corpus boilerplate: headers, licenses, templates; group size
+    controls the quadratic pressure).  5% of docs are near-copies of
+    their predecessor (jaccard ~0.85)."""
     base = spark.range(n)
-    g = (F.col("id") / 200).cast("long")
+    g = (F.col("id") / group).cast("long")
     bp = F.concat_ws(" ", *[F.concat(F.lit(f"bp{j}g"), g.cast("string")) for j in range(5)])
     src = F.when(F.pmod("id", 20) == 19, F.col("id") - 1).otherwise(F.col("id"))
     body = F.concat_ws(
@@ -172,9 +173,10 @@ def bench_dedup_scale(spark, n_docs: int) -> dict:
     """MinHash-LSH prune vs exact all-pairs on the SAME boilerplate-
     skewed input: on the sf0.1 documents table shingles are nearly
     unique so both are linear; this leg has the shared-shingle skew a
-    real web corpus has, where the prune's linearity is the point
-    (measured 4.1x at 50k docs, identical output pairs)."""
-    docs = synth_docs(spark, n_docs)
+    real web corpus has (1000-doc boilerplate groups -> the exact
+    self-join pays 3M rows per group), where the prune's linearity is
+    the point.  Identical output pairs asserted."""
+    docs = synth_docs(spark, n_docs, group=5000)
     t0 = time.time()
     n_lsh = S.minhash_dedup_pairs(docs, "doc_id", "text", 3, 500).count()
     lsh_s = time.time() - t0
@@ -193,6 +195,11 @@ def bench_dedup_scale(spark, n_docs: int) -> dict:
 
 
 def main() -> None:
+    # Pre-provision the heap during (untimed) startup: this VM faults
+    # guest pages in lazily at erratic rates — see BENCH/BASELINE.md.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms16g -XX:+AlwaysPreTouch"
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # 8M default: small enough for a per-round driver run, large

@@ -216,16 +216,18 @@ def minhash_dedup_pairs(
     text_col: str,
     n: int = 3,
     threshold_milli: int = 800,
-    n_hashes: int = 32,
-    bands: int = 16,
-    rows_per_band: int = 2,
+    n_hashes: int = 60,
+    bands: int = 20,
+    rows_per_band: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact confirmation: LSH only
     prunes the pair space; every surviving pair is exact-Jaccard
     checked, so output == the all-pairs exact computation (up to LSH
     recall, which the banding parameters make ~1 at the threshold:
-    16 bands x 2 rows -> P(miss) = (1-j^2)^16, ~3e-8 at j=0.8 and 1%
-    at j=0.5).
+    20 bands x 3 rows -> P(miss) = (1-j^3)^20, ~6e-7 at j=0.8; and the
+    band is STEEP below threshold — boilerplate-only overlap (j~0.08)
+    becomes a candidate only ~1% of the time, so shared headers/
+    licenses don't flood the confirm stage).
 
     Scale shape: the full corpus is touched only by the signature scan
     (one shuffle over fixed-width longs, no distinct); the exact
