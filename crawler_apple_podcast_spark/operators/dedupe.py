@@ -25,6 +25,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Persisted survivor frames returned by sequential_or_dedupe, so
+# long-lived sessions (seed discovery per wave) can release them once
+# the wave's outputs are materialized — same pattern as
+# politeness.release_rank_cache / bloom's cache_registry.
+_dedupe_cache: list[DataFrame] = []
+
+
+def release_dedupe_cache() -> None:
+    """Unpersist all survivor frames cached since the last call."""
+    while _dedupe_cache:
+        _dedupe_cache.pop().unpersist()
+
 
 def two_key_or_anti_join(
     candidates: DataFrame, seen: DataFrame, url_col: str = "url", uid_col: str = "uid"
@@ -68,12 +80,18 @@ def sequential_or_dedupe(
     uid_col: str = "uid",
     ord_col: str = "ord",
     max_iters: int = 50,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact replay of ``SaveUrlsToDb`` batch semantics, distributed.
 
     ``candidates`` needs a total-order column ``ord_col`` (the
     reference's processing order).  Returns the surviving rows with
     their original columns.
+
+    The returned frame is persisted (its lineage crosses two grouped
+    Arrow stages) and registered in ``cache_registry`` — or the module
+    registry released by :func:`release_dedupe_cache` — so callers can
+    free it after materializing downstream outputs.
     """
     c = candidates.select(
         F.col(ord_col).cast("long").alias("ord"),
@@ -95,6 +113,20 @@ def sequential_or_dedupe(
             "seen_hit", F.coalesce(F.col("_hu"), F.lit(False)) | F.coalesce(F.col("_hd"), F.lit(False))
         )
         .drop("_hu", "_hd")
+        # NULL keys match nothing (SQL `=` semantics in the reference's
+        # WHERE result_url=%s OR user_id=%s probe), but the propagation
+        # and scan joins below would DROP a NULL join key instead of
+        # keeping the row as a singleton.  Substitute a per-row sentinel
+        # after the seen-hit joins (which correctly saw the NULLs):
+        # unique per ord, so it collides with no other row's key.
+        .withColumn(
+            "url",
+            F.coalesce(F.col("url"), F.concat(F.lit("\x00nullurl:"), F.col("ord").cast("string"))),
+        )
+        .withColumn(
+            "uid",
+            F.coalesce(F.col("uid"), F.concat(F.lit("\x00nulluid:"), F.col("ord").cast("string"))),
+        )
         .persist()
     )
 
@@ -112,6 +144,11 @@ def sequential_or_dedupe(
     # only — components are small without the '' hub).  Persist per
     # iteration so lineage (and recomputation) stays O(1) per round.
     lab = nonempty.withColumn("comp", F.col("ord")).persist()
+    # `lab` after the first iteration is a DERIVED projection of the
+    # persisted `nxt` — unpersisting the derivation is a no-op on the
+    # cache entry, so track the actually-persisted frame explicitly
+    # (one leaked frame per iteration otherwise).
+    lab_cached = lab
     for _ in range(max_iters):
         by_url = lab.groupBy("url").agg(F.min("comp").alias("_cu"))
         by_uid = lab.groupBy("uid").agg(F.min("comp").alias("_cd"))
@@ -122,9 +159,9 @@ def sequential_or_dedupe(
             .persist()
         )
         changed = nxt.where(F.col("_new") != F.col("comp")).limit(1).count()
-        old = lab
         lab = nxt.withColumn("comp", F.col("_new")).drop("_cu", "_cd", "_new")
-        old.unpersist()
+        lab_cached.unpersist()
+        lab_cached = nxt
         if changed == 0:
             break
 
@@ -193,8 +230,9 @@ def sequential_or_dedupe(
     out = candidates.join(
         survivors.withColumnRenamed("ord", ord_col), ord_col, "left_semi"
     ).persist()
+    (_dedupe_cache if cache_registry is None else cache_registry).append(out)
     out.count()
-    for f in (c, lab, s0):
+    for f in (c, lab_cached, s0):
         f.unpersist()
     return out
 

@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 
 from ..functions.text import idiv, tokens
 
+# Persisted result frames (minhash_dedup_pairs), releasable by callers
+# once downstream outputs are materialized — same pattern as
+# politeness.release_rank_cache / dedupe.release_dedupe_cache.
+_sim_cache: list[DataFrame] = []
+
+
+def release_similarity_cache() -> None:
+    """Unpersist all similarity result frames cached since the last call."""
+    while _sim_cache:
+        _sim_cache.pop().unpersist()
+
+
 def _spread(df: DataFrame, *cols) -> DataFrame:
     """Ensure at least one input partition per core before a heavy map
     stage.  Small-file inputs (one parquet split) otherwise serialize
@@ -219,6 +231,7 @@ def minhash_dedup_pairs(
     n_hashes: int = 60,
     bands: int = 20,
     rows_per_band: int = 3,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact confirmation: LSH only
     prunes the pair space; every surviving pair is exact-Jaccard
@@ -267,6 +280,10 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard_milli") >= threshold_milli)
         .persist()
     )
+    # The result stays persisted (its lineage crosses the banding
+    # self-join); register it for release via the caller's registry or
+    # release_similarity_cache() — never leak it silently.
+    (_sim_cache if cache_registry is None else cache_registry).append(out)
     out.count()  # materialize, then release the intermediates
     sig.unpersist()
     cands.unpersist()
@@ -447,9 +464,13 @@ def plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
 
 
 def quantize_vec(m: np.ndarray) -> np.ndarray:
-    # np.rint is half-to-even vs round()'s half-away, but a float32
-    # value times 1000 is never an exact .5 in double, so they agree.
-    return np.rint(m.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    # floor(x*1000 + 0.5) — i.e. round-half-UP — on BOTH sides of the
+    # oracle contract.  float32 values exactly representable as odd/16
+    # (0.0625, ...) DO give exact .5 in double, where np.rint
+    # (half-to-even) and SQL round() (half-away) disagree; an explicit
+    # floor(+0.5) is identical in numpy and in the DuckDB oracle
+    # (queries._ann_lsh_oracle embeds the same expression).
+    return np.floor(m.astype(np.float64) * QUANT_SCALE + 0.5).astype(np.int64)
 
 
 def hyperplane_signatures(

@@ -811,7 +811,7 @@ def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42, k: int = 1
     )
     return (
         "WITH e AS (SELECT vec_id, embedding,"
-        " list_transform(embedding::DOUBLE[], x -> round(x * 1000)) AS qv FROM embeddings),"
+        " list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qv FROM embeddings),"
         f" sig AS (SELECT vec_id, embedding, CAST({terms} AS BIGINT) AS bucket FROM e),"
         " qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = 0),"
         " q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),"

@@ -143,7 +143,12 @@ def process_candidate_batch(
     carry = _latest_carry(spark, cfg.resolved_carry_dir(), batch_id)
     if carry is not None:
         cand = cand.unionByName(carry)
-    cand = cand.dropDuplicates(["fetch_url"])
+    # Deterministic duplicate resolution: when a carried deferred row
+    # and a fresh candidate share a url with different priorities,
+    # dropDuplicates would keep an arbitrary one — a replayed batch
+    # could then produce a different scheduled/deferred split.  min()
+    # keeps the most urgent priority (the gate schedules ascending).
+    cand = cand.groupBy("fetch_url").agg(F.min("priority").alias("priority"))
 
     if st.base is None or batch_id - st.rebuild_batch >= cfg.rebuild_every:
         if st.base is not None:

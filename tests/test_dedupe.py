@@ -152,6 +152,53 @@ def test_giant_empty_component_at_scale(spark):
     assert n_empty_kept == 1
 
 
+def test_null_keys_survive_as_singletons(spark):
+    """NULL url/uid matches nothing (the reference's SQL `=` probe never
+    matches NULL): such rows must survive unless blocked via their
+    non-null key, and two NULL-uid rows never block each other."""
+    cand = spark.createDataFrame(
+        [
+            (0, "U1", "7"),
+            (1, "U2", None),   # NULL uid, fresh url -> kept
+            (2, "U2", "8"),    # url-blocked by row 1 -> dead
+            (3, None, "9"),    # NULL url, fresh uid -> kept
+            (4, "U3", None),   # second NULL uid: NULL != NULL -> kept
+            (5, None, "9"),    # NULL url, uid-blocked by row 3 -> dead
+        ],
+        "ord BIGINT, url STRING, uid STRING",
+    )
+    seen = spark.createDataFrame([], "url STRING, uid STRING")
+    out = sorted(r.ord for r in sequential_or_dedupe(cand, seen).collect())
+    assert out == [0, 1, 3, 4]
+
+
+def test_dedupe_cache_release(spark):
+    """sequential_or_dedupe must not net-leak persisted frames once the
+    caller releases the registry (VERDICT r2 #6)."""
+    from crawler_apple_podcast_spark.operators.dedupe import release_dedupe_cache
+
+    release_dedupe_cache()
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    cand = spark.createDataFrame(
+        [(0, "U1", "1"), (1, "U1", "2"), (2, "U2", "2")],
+        "ord BIGINT, url STRING, uid STRING",
+    )
+    seen = spark.createDataFrame([], "url STRING, uid STRING")
+    out = sequential_or_dedupe(cand, seen)
+    assert out.count() == 2
+    release_dedupe_cache()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+    # Explicit registry: caller owns the release.
+    reg: list = []
+    out2 = sequential_or_dedupe(cand, seen, cache_registry=reg)
+    assert out2.count() == 2 and len(reg) == 1
+    for f in reg:
+        f.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
 def test_two_key_or_anti_join_set_semantics(spark):
     cand = spark.createDataFrame(
         [(1, "u1", "a"), (2, "u2", "b"), (3, "u3", "c")], "ord INT, url STRING, uid STRING"

@@ -147,3 +147,42 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark, emb):
     single_recall = len(set(exact) & set(single)) / k
     assert recall >= 0.5
     assert recall >= single_recall  # multiprobe never loses recall
+
+
+def test_quantize_half_up_matches_oracle():
+    """float32 values exactly representable as odd/16 hit exact .5 after
+    *1000 in double; the quantizer and the DuckDB oracle must round them
+    identically (half-UP via floor(x*1000+0.5); ADVICE r2)."""
+    import duckdb
+
+    vals = np.array([0.0625, 0.1875, -0.0625, 0.3125, 0.1234, -0.9995], dtype=np.float32)
+    got = S.quantize_vec(vals)
+    want = duckdb.sql(
+        "SELECT list_transform(?::DOUBLE[], x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))",
+        params=[[float(v) for v in vals]],
+    ).fetchone()[0]
+    assert list(got) == list(want)
+    assert got[0] == 63  # 62.5 rounds UP, not to even
+
+
+def test_similarity_cache_release(spark):
+    """minhash_dedup_pairs must not net-leak persisted frames once the
+    caller releases the registry (VERDICT r2 #6)."""
+    S.release_similarity_cache()
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "p q r s t u")],
+        "doc_id INT, text STRING",
+    )
+    out = S.minhash_dedup_pairs(df, "doc_id", "text", 3, 500)
+    assert out.count() == 1
+    S.release_similarity_cache()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+    reg: list = []
+    out2 = S.minhash_dedup_pairs(df, "doc_id", "text", 3, 500, cache_registry=reg)
+    assert out2.count() == 1 and len(reg) == 1
+    for f in reg:
+        f.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before

@@ -162,3 +162,29 @@ def test_host_rate_metrics_windowing(spark):
     assert got[("a.example", 0)]["n_urls"] == 2
     assert got[("a.example", 0)]["top_priority"] == 0
     assert got[("b.example", 1)]["n_urls"] == 1
+
+
+def test_carry_vs_fresh_priority_resolved_deterministically(spark, tmp_path):
+    """When a carried deferred row and a fresh candidate share a url at
+    different priorities, the batch must keep the MIN (most urgent)
+    priority, not an arbitrary one — otherwise a replayed batch can
+    produce a different scheduled/deferred split (ADVICE r2)."""
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    cfg.default_budget = 1
+    reset_seen_state(cfg.seen_dir)
+    url = "https://one.example/p/dup"
+    # Batch 0: two urls; the dup url gets priority 9 -> deferred (budget 1).
+    b0 = spark.createDataFrame(
+        [("https://one.example/p/a", 0, TS), (url, 9, TS)], CANDIDATE_SCHEMA
+    )
+    process_candidate_batch(spark, b0, 0, cfg)
+    carried = spark.read.parquet(f"{cfg.out_dir}_carry/batch_id=0").collect()
+    assert [(r.fetch_url, r.priority) for r in carried] == [(url, 9)]
+    # Batch 1: the SAME url arrives fresh with priority 2 -> the merged
+    # candidate must carry priority 2 and be scheduled with it.
+    b1 = spark.createDataFrame([(url, 2, TS)], CANDIDATE_SCHEMA)
+    process_candidate_batch(spark, b1, 1, cfg)
+    out = spark.read.parquet(f"{cfg.out_dir}/batch_id=1").collect()
+    assert [(r.fetch_url, r.priority) for r in out] == [(url, 2)]
+    reset_seen_state(cfg.seen_dir)
