@@ -200,6 +200,40 @@ def minhash_signatures_from_hashes(hashed: DataFrame, n_hashes: int = 64) -> Dat
     )
 
 
+def minhash_signatures_map_only(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_hashes: int = 36
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}) with ZERO shuffles: the per-doc gram-hash
+    array is materialized in its own projection (lambda re-eval trap),
+    then each family is ``array_min(transform(_gh, h -> xxhash64(h, i)))``
+    — the same family derivation as ``minhash_signatures_from_hashes``
+    (min over ``xxhash64(occurrence_hash, i)``), so the signatures are
+    byte-identical, but computed as a narrow map over one row per doc
+    instead of explode -> shuffle -> groupBy-min.  At 100 TB this is
+    embarrassingly parallel; the only shuffle in the whole MinHash path
+    becomes the LSH band bucket join.
+
+    Docs with fewer than ``n`` tokens have no shingles and are dropped
+    (as the explode path drops them) — otherwise their all-NULL
+    signatures would band every short doc with every other."""
+    t1 = _spread(df, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_th") - n + 1),
+        lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j) for j in range(n)]),
+    )
+    t2 = t1.where(F.size("_th") >= n).select("doc_id", grams.alias("_gh"))
+    return t2.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("_gh"), lambda h: F.xxhash64(h, F.lit(i)))).alias(f"m{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair."""
     band_cols = [
@@ -228,8 +262,8 @@ def minhash_dedup_pairs(
     text_col: str,
     n: int = 3,
     threshold_milli: int = 800,
-    n_hashes: int = 60,
-    bands: int = 20,
+    n_hashes: int = 36,
+    bands: int = 12,
     rows_per_band: int = 3,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
@@ -237,20 +271,22 @@ def minhash_dedup_pairs(
     prunes the pair space; every surviving pair is exact-Jaccard
     checked, so output == the all-pairs exact computation (up to LSH
     recall, which the banding parameters make ~1 at the threshold:
-    20 bands x 3 rows -> P(miss) = (1-j^3)^20, ~6e-7 at j=0.8; and the
-    band is STEEP below threshold — boilerplate-only overlap (j~0.08)
-    becomes a candidate only ~1% of the time, so shared headers/
-    licenses don't flood the confirm stage).
+    12 bands x 3 rows -> P(miss) = (1-j^3)^12 — 2e-5 at j=0.84 (a
+    typical near-dup), 1.6e-7 at j=0.9; and the band is STEEP below
+    threshold — boilerplate-only overlap (j~0.05) becomes a candidate
+    only ~0.1% of the time, so shared headers/licenses don't flood the
+    confirm stage.  36 hash families, down from 60 in round 2: the
+    family derivation is the dominant map cost and the measured r2
+    recall margin was orders of magnitude more than needed).
 
     Scale shape: the full corpus is touched only by the signature scan
-    (one shuffle over fixed-width longs, no distinct); the exact
-    shingle-set materialization (string distinct) happens ONLY for the
-    docs that appear in some LSH candidate pair — at 100 TB that is the
-    near-dup fraction, not the corpus."""
-    hashed = shingle_hashes(df, id_col, text_col, n)
+    — a ZERO-shuffle narrow map (minhash_signatures_map_only); the
+    exact shingle-set materialization (string distinct) happens ONLY
+    for the docs that appear in some LSH candidate pair — at 100 TB
+    that is the near-dup fraction, not the corpus."""
     # Persist: the banding self-join reads the signature frame twice —
     # unpersisted it recomputes the whole shingle+hash pipeline per side.
-    sig = minhash_signatures_from_hashes(hashed, n_hashes).persist()
+    sig = minhash_signatures_map_only(df, id_col, text_col, n, n_hashes).persist()
     cands = lsh_candidate_pairs(sig, bands, rows_per_band).persist()
     cand_docs = (
         cands.select(F.col("doc_a").alias(id_col))

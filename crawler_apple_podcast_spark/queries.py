@@ -570,6 +570,115 @@ def e2_seed_discovery(spark, sf):
     return run_seed_discovery(cand, seen)
 
 
+# --------------------------------------------------------- E1 wave loop
+# Flagship crawl pipeline as a driver-contract entry: a deterministic
+# pages corpus is synthesized from `events` (40 seeds, pagination depth
+# uid % 4), run through the REAL wave loop (plans/wave_loop.py:98), and
+# oracled in closed form — with bounded depth, wave k is exactly the
+# pages at offset 10*k, so no recursive SQL is needed.
+
+_E1_API = U.API_BASE + "/v1/catalog/us/podcasts/"
+
+
+def _e1_corpus(spark, sf):
+    """(pages, seeds) for the E1 driver entry — pure Column exprs over
+    `events`, byte-deterministic, so the DuckDB oracle can enumerate
+    the same crawl in closed form."""
+    e = _t(spark, sf, "events")
+    u = e.select(F.pmod("user_id", F.lit(40)).cast("long").alias("uid")).distinct()
+    uid_s = F.col("uid").cast("string")
+    depth = F.pmod("uid", F.lit(4))
+    p = u.select("uid", F.explode(F.sequence(F.lit(0), depth)).alias("step"))
+    off = (F.col("step") * 10).cast("long")
+
+    def item(j: int):
+        eid = (F.col("uid") * 1000 + off + j).cast("string")
+        return F.concat(
+            F.lit('{"id": "'), eid,
+            F.lit('", "attributes": {"itunesTitle": "t'), uid_s,
+            F.lit("-"), off.cast("string"), F.lit(f"-{j}"),
+            F.lit('", "url": "https://podcasts.apple.com/us/podcast/e'), eid,
+            F.lit('", "artistName": "a'), uid_s,
+            F.lit('", "durationInMilliseconds": '), ((off + j) * 1000).cast("string"),
+            F.lit(', "genreNames": ["g'), F.pmod("uid", F.lit(5)).cast("string"),
+            F.lit('"], "assetUrl": "https://assets.example/'), uid_s,
+            F.lit("/"), (off + j).cast("string"), F.lit('.mp3"}}'),
+        )
+
+    nxt = F.when(
+        F.col("step") < F.pmod("uid", F.lit(4)),
+        F.concat(
+            F.lit('"next": "/v1/catalog/us/podcasts/'), uid_s,
+            F.lit("/episodes?offset="), (off + 10).cast("string"), F.lit('", '),
+        ),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("{"), nxt, F.lit('"data": ['), item(0), F.lit(", "), item(1), F.lit("]}")
+    )
+    url = F.concat(
+        F.lit(_E1_API), uid_s, F.lit("/episodes?l=en-US&offset="), off.cast("string")
+    )
+    pages = p.select(url.alias("url"), F.encode(body, "UTF-8").alias("html"))
+    seeds = u.select(
+        F.col("uid").cast("int").alias("seed_index"),
+        F.concat(F.lit(_E1_API), uid_s, F.lit("/episodes?offset=0")).alias("url"),
+    )
+    return pages, seeds
+
+
+_E1_CTE = (
+    "WITH u AS (SELECT DISTINCT user_id % 40 AS uid FROM events),"
+    " p AS (SELECT uid, unnest(range(0, uid % 4 + 1)) AS step FROM u),"
+    " src AS (SELECT uid, step,"
+    f"  '{_E1_API}' || uid || '/episodes?l=en-US&offset=' || (step * 10) AS source_url"
+    " FROM p)"
+)
+
+
+@q(
+    "e1_crawl_wave",
+    # Episodes emitted by the full wave loop: 2 per page, wave = step.
+    _E1_CTE
+    + " SELECT CAST(uid AS INT) AS seed_index, CAST(step * 10 AS INT) AS offset,"
+    " CAST(j.pos AS INT) AS pos, CAST(step AS INT) AS wave, source_url,"
+    " 'Podcast_' || uid || '_' || (uid * 1000 + step * 10 + j.pos) AS id,"
+    " 't' || uid || '-' || (step * 10) || '-' || j.pos AS title,"
+    " 'https://podcasts.apple.com/us/podcast/e' || (uid * 1000 + step * 10 + j.pos) AS full_url,"
+    " 'a' || uid AS author,"
+    " CAST((step * 10 + j.pos) * 1000 AS BIGINT) AS duration,"
+    " 'g' || (uid % 5) AS categories,"
+    " 'https://assets.example/' || uid || '/' || (step * 10 + j.pos) || '.mp3' AS asset_url"
+    " FROM src, (SELECT unnest([0, 1]) AS pos) j",
+)
+def e1_crawl_wave(spark, sf):
+    from .plans.wave_loop import WaveConfig, run_crawl
+
+    pages, seeds = _e1_corpus(spark, sf)
+    out = run_crawl(spark, pages, seeds, WaveConfig())
+    return out.episodes.withColumn("categories", F.array_join("categories", ","))
+
+
+@q(
+    "e1_crawl_fetch_log",
+    # Fetch log incl. the reference's terminal quirk: a dead cursor
+    # (missing `next`) absolutizes to the bare API base, which is
+    # fetched ONCE per seed (a miss) at wave depth+1 before the chain
+    # dies (functions/urls.py:58-78).
+    _E1_CTE
+    + " SELECT CAST(uid AS INT) AS seed_index, source_url AS fetch_url,"
+    " CAST(step AS INT) AS wave, TRUE AS fetch_ok, CAST(step * 10 AS INT) AS offset"
+    " FROM src UNION ALL"
+    f" SELECT CAST(uid AS INT), '{U.API_BASE}?l=en-US&offset=10',"
+    " CAST(uid % 4 + 1 AS INT), FALSE, 10 FROM u",
+)
+def e1_crawl_fetch_log(spark, sf):
+    from .plans.wave_loop import WaveConfig, run_crawl
+
+    pages, seeds = _e1_corpus(spark, sf)
+    out = run_crawl(spark, pages, seeds, WaveConfig())
+    return out.fetch_log
+
+
 @q(
     "p9_asset_paths",
     "SELECT id, local_path, cos_key FROM (SELECT"

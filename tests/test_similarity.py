@@ -171,8 +171,9 @@ def test_similarity_cache_release(spark):
     S.release_similarity_cache()
     spark.catalog.clearCache()
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    base = " ".join(f"w{i}" for i in range(20))
     df = spark.createDataFrame(
-        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "p q r s t u")],
+        [(1, base), (2, base + " z"), (3, "p q r s t u")],
         "doc_id INT, text STRING",
     )
     out = S.minhash_dedup_pairs(df, "doc_id", "text", 3, 500)
