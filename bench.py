@@ -130,7 +130,11 @@ def bench_frontier(spark, n_urls: int) -> dict:
         seen, "fetch_url", n_shards=64, k=5, expected_items=n_urls // 2
     )
     fresh = bloom_gated_anti_join(
-        cand.select("fetch_url", "priority"), seen, bloom, "fetch_url"
+        cand.select("fetch_url", "priority"), seen, bloom, "fetch_url",
+        # 128-bit hash-pair confirm: the seen side shuffles 16 B/row
+        # instead of URL strings and skips the distinct pre-agg
+        # (collision bound ~3e-19 at 10^10 URLs; see bloom.py).
+        confirm_on="hashes",
     )
     scheduled, _deferred = politeness_gate(
         fresh, None, default_budget=100_000, salt_n=32

@@ -139,7 +139,8 @@ def build_bloom_shards(
 
 
 def probe_bloom(
-    df: DataFrame, bloom: BloomShards, key_col: str = "url", out_col: str = "maybe_seen"
+    df: DataFrame, bloom: BloomShards, key_col: str = "url", out_col: str = "maybe_seen",
+    keep_hashes: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` boolean; rows whose shard is absent are
     definitely-new.
@@ -171,7 +172,8 @@ def probe_bloom(
         return pd.Series(hit)
 
     hashed = _with_hashes(df, key_col)
-    return hashed.withColumn(out_col, _probe("_h1", "_h2")).drop("_h1", "_h2")
+    out = hashed.withColumn(out_col, _probe("_h1", "_h2"))
+    return out if keep_hashes else out.drop("_h1", "_h2")
 
 
 def partitioned_probe_bloom(
@@ -246,6 +248,7 @@ def bloom_gated_anti_join(
     new: DataFrame, seen: DataFrame, bloom: BloomShards, key_col: str = "url",
     materialize: bool = True,
     cache_registry: list[DataFrame] | None = None,
+    confirm_on: str = "key",
 ) -> DataFrame:
     """Exact anti-join accelerated by the Bloom gate: probe-negatives
     bypass the shuffle entirely; probe-positives are confirmed exactly.
@@ -255,14 +258,30 @@ def bloom_gated_anti_join(
     Long-running callers (streaming) pass ``cache_registry`` to receive
     the persisted frame for release once the batch output is
     materialized — otherwise it lives for the session.
+
+    ``confirm_on``: ``"key"`` confirms suspects with a string anti-join
+    on ``key_col`` (the byte-exact default).  ``"hashes"`` confirms on
+    the pre-projected 128-bit ``(xxhash64(key), xxhash64(key, seed))``
+    pair the probe already computed: the seen side then shuffles 16
+    bytes/row instead of URL strings and needs NO distinct pre-agg
+    (anti-join ignores right-side duplicates).  A collision would need
+    two distinct URLs agreeing on both independent 64-bit hashes —
+    expected collisions n^2/2^129 ≈ 3e-19 at the 10^10-URL target, far
+    below any hardware error rate; use it when the seen-side shuffle is
+    the bottleneck.
     """
-    probed = probe_bloom(new, bloom, key_col)
+    keep = confirm_on == "hashes"
+    probed = probe_bloom(new, bloom, key_col, keep_hashes=keep)
     if materialize:
         probed = probed.persist()
         if cache_registry is not None:
             cache_registry.append(probed)
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    if keep:
+        seen_hashes = _with_hashes(seen.select(key_col), key_col).select("_h1", "_h2")
+        confirmed_new = suspects.join(seen_hashes, ["_h1", "_h2"], "left_anti")
+        return definitely_new.unionByName(confirmed_new).drop("_h1", "_h2")
     confirmed_new = suspects.join(
         seen.select(key_col).distinct(), key_col, "left_anti"
     )

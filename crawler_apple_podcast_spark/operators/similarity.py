@@ -550,16 +550,21 @@ def cosine_topk_lsh(
     probe_bits: int = 1,
 ) -> DataFrame:
     """Scale path: search the query's hyperplane bucket plus all buckets
-    within ``probe_bits`` flipped bits (multiprobe), then exact cosine
-    within the candidate set — a ~2^n_planes/(1+n_planes) fan-in
-    reduction with measured recall (tests/test_similarity.py)."""
+    within Hamming distance ``probe_bits`` of it (multiprobe), then
+    exact cosine within the candidate set.  Probe-set size is
+    ``sum_{d<=probe_bits} C(n_planes, d)`` — at n_planes=12,
+    1 (exact) / 13 (1-bit) / 79 (2-bit) buckets out of 4096, a
+    52x-315x fan-in reduction with measured recall
+    (tests/test_similarity.py: recall is monotone in probe_bits)."""
+    from itertools import combinations
+
     dim = len(query)
     sigs = hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
     qbucket = query_bucket(query, n_planes, seed)
-    if probe_bits > 1:
-        raise ValueError("probe_bits > 1 not implemented; use more bands instead")
-    probes = [qbucket] + (
-        [qbucket ^ (1 << i) for i in range(n_planes)] if probe_bits >= 1 else []
-    )
+    probes = [
+        qbucket ^ sum(1 << i for i in flip)
+        for d in range(probe_bits + 1)
+        for flip in combinations(range(n_planes), d)
+    ]
     in_bucket = sigs.where(F.col("bucket").isin(probes)).select(id_col, vec_col)
     return cosine_topk_bruteforce(in_bucket, query, k, id_col, vec_col)

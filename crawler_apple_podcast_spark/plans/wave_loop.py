@@ -58,6 +58,41 @@ class WaveConfig:
     salt_n: int = 16
 
 
+def make_join_fetcher(pages: DataFrame):
+    """Default S3 fetcher: one broadcast join of the (small) wave
+    against the (huge) pages table.  ``wave_side`` has columns
+    ``seed_index, fetch_url, priority?, wave``; the fetcher must return
+    those plus ``html BINARY`` (null = miss / fetch failure)."""
+
+    def fetch(wave_side: DataFrame) -> DataFrame:
+        hits = pages.select(F.col("url").alias("fetch_url"), "html").join(
+            F.broadcast(wave_side), "fetch_url", "inner"
+        )
+        misses = wave_side.join(
+            F.broadcast(hits.select("fetch_url", "seed_index")),
+            ["fetch_url", "seed_index"],
+            "left_anti",
+        ).withColumn("html", F.lit(None).cast("binary"))
+        return hits.select(*misses.columns).unionByName(misses)
+
+    return fetch
+
+
+def http_fetcher_stub(wave_side: DataFrame) -> DataFrame:
+    """Live-fetch escape hatch (reference: requests.get at
+    handler/apple_podcast_api.py:43).  The real implementation is a
+    ``mapInPandas`` over the scheduled wave — one Arrow batch of URLs
+    per task, an HTTP client pool per executor, yielding
+    ``(seed_index, fetch_url, priority, wave, html)`` with html=null on
+    failure, politeness already enforced upstream by the gate.  Network
+    is out of sandbox scope, so this stub raises instead of pretending."""
+    raise NotImplementedError(
+        "live HTTP fetching is out of sandbox scope; implement as "
+        "wave_side.mapInPandas(fetch_batch, schema=..., barrier=False) "
+        "with a per-executor HTTP session pool"
+    )
+
+
 @dataclass
 class CrawlOutputs:
     episodes: DataFrame
@@ -102,14 +137,21 @@ def run_crawl(
     cfg: WaveConfig | None = None,
     store: SnapshotStore | None = None,
     resume: bool = False,
+    fetcher=None,
 ) -> CrawlOutputs:
     """Crawl to frontier exhaustion.  ``seeds``: (seed_index, url[, ...]).
 
     With ``store`` set, each wave is one atomic commit of
     ``episodes / metrics / fetch_log / frontier``; ``resume=True``
     restarts from the last committed frontier snapshot.
+
+    ``fetcher``: callable ``(wave_side) -> fetched`` replacing the
+    default frontier⨝pages broadcast join (``make_join_fetcher``) —
+    swap in a live HTTP ``mapInPandas`` fetcher (``http_fetcher_stub``
+    documents the shape) without touching the loop.
     """
     cfg = cfg or WaveConfig()
+    fetcher = fetcher or make_join_fetcher(pages)
 
     robots = parse_robots(pages).cache() if (cfg.use_politeness or cfg.use_robots_disallow) else None
     budgets = (
@@ -163,17 +205,9 @@ def run_crawl(
         wave_side = scheduled.select("seed_index", "fetch_url", "priority").withColumn(
             "wave", F.lit(wave)
         )
-        # fetch = broadcast-join the (small) wave against the (huge) pages
-        hits = pages.select(F.col("url").alias("fetch_url"), "html").join(
-            F.broadcast(wave_side), "fetch_url", "inner"
-        )
-        misses = wave_side.join(
-            F.broadcast(hits.select("fetch_url", "seed_index")),
-            ["fetch_url", "seed_index"],
-            "left_anti",
-        ).withColumn("html", F.lit(None).cast("binary"))
-        fetched = hits.select(*misses.columns)  # align column order
-        fetched = fetched.unionByName(misses)
+        # fetch step behind the fetcher interface (default: broadcast
+        # join of the small wave against the huge pages table).
+        fetched = fetcher(wave_side)
 
         parsed = E.next_cursor(E.parse_pages(fetched)).localCheckpoint()
 

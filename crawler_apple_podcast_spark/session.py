@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Shuffle/broadcast codec. URL-heavy shuffles compress 3-5x
+        # under zstd vs lz4, trading CPU (which scales with cores /
+        # executors) for shuffle bytes (memory- and network-bandwidth,
+        # which don't scale on one box) — overridable per run.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)

@@ -99,3 +99,26 @@ def test_partitioned_probe_preserves_extra_columns(spark):
     probed = partitioned_probe_bloom(new, rows, m, 4, 4)
     assert set(probed.columns) == {"url", "priority", "maybe_seen"}
     assert probed.count() == 30
+
+
+def test_gated_anti_join_hash_confirm_equals_exact(spark):
+    """confirm_on='hashes' (128-bit pair confirm, 16 B/row seen-side
+    shuffle) must produce the same rows as the string confirm — incl.
+    with duplicate seen rows, which the hash path no longer distincts."""
+    seen = _urls(spark, 400, "seen").unionAll(_urls(spark, 150, "seen"))
+    new = _urls(spark, 300, "seen").unionAll(_urls(spark, 200, "new")).withColumn(
+        "priority", (F.col("url").substr(-1, 1).cast("int")) % 3
+    )
+    bloom = build_bloom_shards(seen, n_shards=4, m_bits=1 << 10, k=3)
+    got = sorted(
+        (r.url, r.priority)
+        for r in bloom_gated_anti_join(new, seen, bloom, confirm_on="hashes").collect()
+    )
+    want = sorted(
+        (r.url, r.priority) for r in new.join(seen, "url", "left_anti").collect()
+    )
+    assert got == want
+    assert len(got) == 200
+    # output schema must not leak the internal hash columns
+    out_cols = bloom_gated_anti_join(new, seen, bloom, confirm_on="hashes").columns
+    assert out_cols == ["url", "priority"]

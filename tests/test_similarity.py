@@ -187,3 +187,24 @@ def test_similarity_cache_release(spark):
     for f in reg:
         f.unpersist()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_lsh_multiprobe_2bit_recall_monotone(spark, emb):
+    """probe_bits=2 searches a strict superset of the 1-bit probe set,
+    so its recall vs the exact top-k is >= the 1-bit path's — measured,
+    on a budget tight enough (n_planes=6 -> 64 buckets) that the extra
+    probes matter."""
+    q = list(emb.where(F.col("vec_id") == 0).collect()[0].embedding)
+    k = 10
+    exact = set(r.vec_id for r in S.cosine_topk_bruteforce(emb, q, k).collect())
+
+    def recall(bits):
+        got = set(
+            r.vec_id
+            for r in S.cosine_topk_lsh(emb, q, k=k, n_planes=6, probe_bits=bits).collect()
+        )
+        return len(exact & got) / k
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r2 >= r1 >= r0
+    assert r2 >= 0.7

@@ -122,3 +122,40 @@ def test_metrics_counters(spark, corpus, corpus_pdfs):
     assert total.s == len(want.fetch_log)
     assert total.ok == sum(1 for _, _, hit in want.fetch_log if hit)
     assert total.bad == sum(1 for _, _, hit in want.fetch_log if not hit)
+
+
+def test_custom_fetcher_interface_parity(spark, corpus, corpus_pdfs):
+    """The fetch step runs through the fetcher callable: an instrumented
+    wrapper around the default join fetcher produces identical emissions
+    and is invoked once per wave; the live-HTTP stub raises honestly."""
+    import pytest
+
+    from crawler_apple_podcast_spark.plans.wave_loop import (
+        http_fetcher_stub,
+        make_join_fetcher,
+    )
+
+    pages, seeds = corpus
+    calls = []
+    base = make_join_fetcher(pages)
+
+    def counting_fetcher(wave_side):
+        calls.append(1)
+        return base(wave_side)
+
+    cfg = WaveConfig(use_politeness=True, max_waves=32)
+    got = run_crawl(spark, pages, seeds, cfg, fetcher=counting_fetcher)
+    want = _oracle(corpus_pdfs)
+    got_rows = [
+        ((r.seed_index, r.offset, r.pos), _emission_key(r.asDict()))
+        for r in got.episodes.orderBy("seed_index", "offset", "pos").collect()
+    ]
+    want_rows = [
+        ((e["seed_index"], e["offset"], e["pos"]), _emission_key(e["record"]))
+        for e in want.emissions
+    ]
+    assert got_rows == want_rows
+    assert len(calls) == got.n_waves > 0
+
+    with pytest.raises(NotImplementedError):
+        run_crawl(spark, pages, seeds, WaveConfig(max_waves=1), fetcher=http_fetcher_stub)
