@@ -32,9 +32,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import idiv, tokens
 
-# Persisted result frames (minhash_dedup_pairs), releasable by callers
-# once downstream outputs are materialized — same pattern as
-# politeness.release_rank_cache / dedupe.release_dedupe_cache.
+# Persisted intermediate frames (minhash_dedup_pairs' signatures and
+# candidate pairs), releasable by callers once downstream outputs are
+# materialized — same pattern as politeness.release_rank_cache /
+# dedupe.release_dedupe_cache.
 _sim_cache: list[DataFrame] = []
 
 
@@ -284,10 +285,21 @@ def minhash_dedup_pairs(
     exact shingle-set materialization (string distinct) happens ONLY
     for the docs that appear in some LSH candidate pair — at 100 TB
     that is the near-dup fraction, not the corpus."""
-    # Persist: the banding self-join reads the signature frame twice —
-    # unpersisted it recomputes the whole shingle+hash pipeline per side.
+    # Persist + eager-count the two frames that are read twice (the
+    # banding self-join reads sig per side; cands feeds both the
+    # candidate-doc semi-join and the confirm join) — unpersisted they
+    # recompute their upstream per consumer, un-counted the first joint
+    # read races the cache.  Both register for release via the caller's
+    # registry / release_similarity_cache().  The RESULT stays lazy:
+    # every consumer materializes exactly once anyway, and an eager
+    # persist+count here would pay the confirm path twice.
+    reg = _sim_cache if cache_registry is None else cache_registry
     sig = minhash_signatures_map_only(df, id_col, text_col, n, n_hashes).persist()
+    reg.append(sig)
+    sig.count()
     cands = lsh_candidate_pairs(sig, bands, rows_per_band).persist()
+    reg.append(cands)
+    cands.count()
     cand_docs = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
@@ -314,15 +326,7 @@ def minhash_dedup_pairs(
             idiv(F.col("_i") * F.lit(1000), F.col("_u")).alias("jaccard_milli"),
         )
         .where(F.col("jaccard_milli") >= threshold_milli)
-        .persist()
     )
-    # The result stays persisted (its lineage crosses the banding
-    # self-join); register it for release via the caller's registry or
-    # release_similarity_cache() — never leak it silently.
-    (_sim_cache if cache_registry is None else cache_registry).append(out)
-    out.count()  # materialize, then release the intermediates
-    sig.unpersist()
-    cands.unpersist()
     return out
 
 
@@ -450,6 +454,123 @@ def simhash_near_pairs(
         "doc_b",
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------- embedding-cosine near-dup
+
+
+def _quantized(vec_col: str) -> F.Column:
+    """Integer-quantized embedding as exact values in a double array:
+    floor(x*1000 + 0.5), the same half-up quantizer as the ANN oracle
+    (quantize_vec).  Products (<= 2.5e7) and 64-element sums (<= 1.6e9)
+    stay exactly representable in double, so every arithmetic step
+    below is IEEE-correctly-rounded from identical inputs — the DuckDB
+    oracle computes the bit-identical result."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("double")
+    )
+
+
+def _qdot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold_milli: int = 450,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (vec_a < vec_b,
+    cosine_milli >= threshold): the all-pairs baseline / oracle path.
+    ``cosine_milli = floor(1000 * dot(q_a, q_b) / (sqrt(|q_a|^2) *
+    sqrt(|q_b|^2)))`` over exact integer-quantized vectors — every op
+    is correctly-rounded IEEE on exact inputs, so Spark and the SQL
+    oracle agree bit-for-bit (no float-threshold flakiness).
+
+    Quadratic by design (it IS the oracle); at corpus scale run
+    ``embedding_cosine_pairs_blocked`` and let this confirm candidates.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _quantized(vec_col).alias("qe")
+    ).withColumn("nq", _qdot(F.col("qe"), F.col("qe"))).where(F.col("nq") > 0)
+    a = base.select(F.col("vid").alias("vec_a"), F.col("qe").alias("_qa"), F.col("nq").alias("_na"))
+    b = base.select(F.col("vid").alias("vec_b"), F.col("qe").alias("_qb"), F.col("nq").alias("_nb"))
+    dot = _qdot(F.col("_qa"), F.col("_qb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.lit(1000.0) * dot / (F.sqrt("_na") * F.sqrt("_nb")))
+            .cast("long")
+            .alias("cosine_milli"),
+        )
+    )
+    return pairs.where(F.col("cosine_milli") >= threshold_milli)
+
+
+def embedding_cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold_milli: int = 850,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: banded random-hyperplane blocking (OR over ``bands``
+    bands of ``rows_per_band`` sign bits) prunes the pair space, then
+    the exact quantized-cosine confirm runs only on candidates — the
+    same prune-then-exact-confirm contract as MinHash-LSH.
+
+    Recall economics: per-plane agreement is ``1 - acos(c)/pi`` — 0.86
+    at c=0.9, so a pair at c=0.9 collides in one 8-bit band with
+    p=0.29 and is missed by all 16 bands with p=(1-0.29)^16 ~ 0.4%%.
+    Effective for true near-dups (c >= ~0.85); at low thresholds
+    hyperplane blocking cannot beat all-pairs (the angle carries too
+    little signal per bit) — use the exact path there."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    n_planes = bands * rows_per_band
+    sigs = hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col)
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftrightunsigned(F.col("bucket"), j * rows_per_band)
+            .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+            .alias("key"),
+        )
+        for j in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col).alias("vid"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cands = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "key"])
+        .where(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("vec_a"), F.col("y.vid").alias("vec_b"))
+        .distinct()
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _quantized(vec_col).alias("qe")
+    ).withColumn("nq", _qdot(F.col("qe"), F.col("qe"))).where(F.col("nq") > 0)
+    qa = base.select(F.col("vid").alias("vec_a"), F.col("qe").alias("_qa"), F.col("nq").alias("_na"))
+    qb = base.select(F.col("vid").alias("vec_b"), F.col("qe").alias("_qb"), F.col("nq").alias("_nb"))
+    dot = _qdot(F.col("_qa"), F.col("_qb"))
+    return (
+        cands.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.lit(1000.0) * dot / (F.sqrt("_na") * F.sqrt("_nb")))
+            .cast("long")
+            .alias("cosine_milli"),
+        )
+        .where(F.col("cosine_milli") >= threshold_milli)
+    )
 
 
 # ------------------------------------------------------------------ ANN

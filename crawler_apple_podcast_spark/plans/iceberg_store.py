@@ -1,0 +1,148 @@
+"""Iceberg binding for the wave-snapshot contract (SURVEY.md §7.7).
+
+``SnapshotStore`` is the sandbox stand-in (parquet + manifest JSON);
+this module is the drop-in for real clusters where an Iceberg catalog
+is configured (iceberg-spark-runtime jar + ``spark.sql.catalog.*``
+confs — verified ABSENT from this sandbox's 287 shipped jars, so the
+class refuses loudly at construction instead of half-working).
+
+Mapping of the store contract onto Iceberg:
+
+- ``commit_wave(wave, tables)``  -> per table: ``df.withColumn("wave",
+  lit(wave)).writeTo(ns.table).append()`` (table auto-created
+  partitioned by ``wave`` on first commit), then ONE marker row
+  appended to ``ns._waves`` carrying (wave, metrics JSON, ts) — the
+  HEAD analog.  Each append is one Iceberg snapshot; per-partition
+  lineage lives in Iceberg's own snapshot/manifest metadata
+  (``ns.table.snapshots`` / ``.files`` metadata tables).
+- ``last_committed_wave()``      -> ``max(wave)`` of ``ns._waves``;
+  a crash between table appends and the marker append leaves orphan
+  rows that readers never see because every read filters
+  ``wave <= last_committed_wave()``.
+- ``read_wave`` / ``read_table`` -> partition-pruned reads
+  (``WHERE wave = N`` / ``WHERE wave <= HEAD``); Iceberg prunes on the
+  ``wave`` partition column so a wave read touches one partition.
+- ``lineage()``                  -> the ``_waves`` marker rows.
+
+The commit is not two-phase-atomic across N tables the way the manifest
+store is; Iceberg's unit is one table.  The marker-last protocol gives
+the same reader-visible atomicity (readers gate every query on the
+marker), which is the standard multi-table pattern short of a REST
+catalog with multi-table transactions.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True iff an Iceberg catalog named ``catalog`` is usable."""
+    try:
+        jvm_conf = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if not jvm_conf:
+            return False
+        spark._jvm.java.lang.Class.forName(  # the runtime jar itself
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "not usable"
+        return False
+
+
+class IcebergSnapshotStore:
+    """Same surface as ``SnapshotStore`` (commit_wave / read_wave /
+    read_table / last_committed_wave / manifest / lineage), backed by
+    Iceberg tables under ``<catalog>.<namespace>``."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog}' is not configured (no "
+                "iceberg-spark-runtime jar / spark.sql.catalog."
+                f"{catalog} conf). In this sandbox use SnapshotStore; "
+                "on a cluster add the runtime jar and catalog confs."
+            )
+        self.spark = spark
+        self.ns = f"{catalog}.{namespace}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+
+    # -- helpers ---------------------------------------------------------
+    def _tbl(self, table: str) -> str:
+        return f"{self.ns}.{table}"
+
+    def _ensure_marker(self) -> None:
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._tbl('_waves')} "
+            "(wave INT, ts DOUBLE, metrics STRING) USING iceberg"
+        )
+
+    # -- commit protocol -------------------------------------------------
+    def commit_wave(
+        self,
+        wave: int,
+        tables: dict[str, DataFrame],
+        metrics: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        summary: dict[str, Any] = {"wave": wave, "ts": time.time(), "tables": {}}
+        for name, df in tables.items():
+            # Reserved `_wave` partition column: several engine tables
+            # (e.g. wave metrics) already carry their own `wave` column.
+            staged = df.withColumn("_wave", F.lit(wave).cast("int"))
+            full = self._tbl(name)
+            if self.spark.catalog.tableExists(full):
+                staged.writeTo(full).append()
+            else:
+                staged.writeTo(full).partitionedBy(F.col("_wave")).create()
+            summary["tables"][name] = {"table": full}
+        self._ensure_marker()
+        self.spark.createDataFrame(
+            [(wave, summary["ts"], json.dumps(metrics or {}))],
+            "wave INT, ts DOUBLE, metrics STRING",
+        ).writeTo(self._tbl("_waves")).append()  # marker LAST = publish
+        summary["metrics"] = metrics or {}
+        return summary
+
+    # -- readers ---------------------------------------------------------
+    def last_committed_wave(self) -> int | None:
+        if not self.spark.catalog.tableExists(self._tbl("_waves")):
+            return None
+        row = self.spark.table(self._tbl("_waves")).agg(F.max("wave")).first()
+        return None if row[0] is None else int(row[0])
+
+    def read_wave(self, table: str, wave: int) -> DataFrame:
+        return (
+            self.spark.table(self._tbl(table))
+            .where(F.col("_wave") == wave)  # partition-pruned scan
+            .drop("_wave")
+        )
+
+    def read_table(self, table: str, up_to_wave: int | None = None) -> DataFrame:
+        head = self.last_committed_wave()
+        if head is None:
+            raise FileNotFoundError("no committed wave")
+        last = head if up_to_wave is None else min(head, up_to_wave)
+        return (
+            self.spark.table(self._tbl(table))
+            .where(F.col("_wave") <= last)
+            .drop("_wave")
+        )
+
+    def manifest(self, wave: int) -> dict[str, Any]:
+        row = (
+            self.spark.table(self._tbl("_waves")).where(F.col("wave") == wave).first()
+        )
+        if row is None:
+            raise FileNotFoundError(f"wave {wave} not committed")
+        return {"wave": wave, "ts": row["ts"], "metrics": json.loads(row["metrics"])}
+
+    def lineage(self) -> list[dict[str, Any]]:
+        head = self.last_committed_wave()
+        if head is None:
+            return []
+        return [self.manifest(w) for w in range(head + 1)]

@@ -895,6 +895,31 @@ def dedup_simhash(spark, sf):
 
 
 @q(
+    "dedup_embedding_cosine",
+    # Exact integer-quantized cosine (floor(x*1000+0.5) per element):
+    # products and 64-element sums stay exact in double, so every IEEE
+    # op below is correctly rounded from identical inputs and Spark ==
+    # DuckDB bit-for-bit — no float-threshold flakiness at the cut.
+    "WITH q AS (SELECT vec_id,"
+    " list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qe"
+    " FROM embeddings),"
+    " n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nq FROM q WHERE"
+    " list_dot_product(qe, qe) > 0)"
+    " SELECT vec_a, vec_b, cosine_milli FROM (SELECT a.vec_id AS vec_a,"
+    " b.vec_id AS vec_b,"
+    " CAST(floor(1000.0 * list_dot_product(a.qe, b.qe)"
+    " / (sqrt(a.nq) * sqrt(b.nq))) AS BIGINT) AS cosine_milli"
+    " FROM n a JOIN n b ON a.vec_id < b.vec_id) t WHERE cosine_milli >= 450",
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs, exact path (the oracle); the
+    banded-hyperplane blocked scale path
+    (S.embedding_cosine_pairs_blocked) is recall-tested in pytest on
+    planted near-dups."""
+    return S.embedding_cosine_pairs_exact(_t(spark, sf, "embeddings"), 450)
+
+
+@q(
     "ann_cosine_topk",
     "SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])"
     " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"

@@ -183,7 +183,7 @@ def test_similarity_cache_release(spark):
 
     reg: list = []
     out2 = S.minhash_dedup_pairs(df, "doc_id", "text", 3, 500, cache_registry=reg)
-    assert out2.count() == 1 and len(reg) == 1
+    assert out2.count() == 1 and len(reg) == 2  # signatures + candidate pairs
     for f in reg:
         f.unpersist()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
@@ -209,3 +209,53 @@ def test_lsh_multiprobe_2bit_recall_monotone(spark, emb):
     assert r3 >= r2 >= r1 >= r0
     # measured staircase on this corpus: 1-bit 0.2, 2-bit 0.6, 3-bit 0.9
     assert r2 >= 0.5 and r3 >= 0.8
+
+
+def test_embedding_cosine_exact_and_blocked_on_planted_dups(spark, emb):
+    """Exact path finds planted near-dups; the banded-hyperplane
+    blocked path (prune + exact confirm) returns the identical pair set
+    at a near-dup threshold on a corpus with planted c~0.99 pairs."""
+    rows = emb.limit(30).collect()
+    planted = [(int(r.vec_id), list(r.embedding)) for r in rows]
+    extra = [
+        (1000 + vid, [x * 1.02 + 0.001 for x in vec])  # c ~ 0.9999 dup
+        for vid, vec in planted[:5]
+    ]
+    df = spark.createDataFrame(
+        planted + extra, "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine_milli)
+        for r in S.embedding_cosine_pairs_exact(df, 900).collect()
+    }
+    assert len(exact) >= 5  # every planted dup found
+    assert all(c >= 900 for _, _, c in exact)
+    blocked = {
+        (r.vec_a, r.vec_b, r.cosine_milli)
+        for r in S.embedding_cosine_pairs_blocked(df, 900).collect()
+    }
+    assert blocked == exact
+
+
+def test_embedding_cosine_exact_matches_numpy(spark, emb):
+    """Quantized-cosine values agree with a numpy recomputation of the
+    same integer formula on the real embeddings table."""
+    import numpy as np
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine_milli
+        for r in S.embedding_cosine_pairs_exact(emb, 300).collect()
+    }
+    rows = emb.collect()
+    q = {r.vec_id: np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000 + 0.5) for r in rows}
+    want = {}
+    ids = sorted(q)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            na, nb = q[a] @ q[a], q[b] @ q[b]
+            if na == 0 or nb == 0:
+                continue
+            c = int(np.floor(1000.0 * (q[a] @ q[b]) / (np.sqrt(na) * np.sqrt(nb))))
+            if c >= 300:
+                want[(a, b)] = c
+    assert got == want
