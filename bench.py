@@ -240,7 +240,9 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     total = 0.0
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    frontier_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "2"))
+    # 3 reps: this VM's host phases swing the same frontier leg 20-80 s
+    # run to run; best-of-3 with the published spread rides it out.
+    frontier_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "3"))
     if not only_frontier:
         for name in HEADLINE:
             fn = queries[name]
@@ -260,6 +262,10 @@ def main() -> None:
             per_query[name] = best
             total += best
 
+    # Untimed warm of the full frontier path at small n: probe-UDF JIT,
+    # Python worker imports and first-touch page provisioning otherwise
+    # land in the first timed rep (measured 71 s vs 20 s steady state).
+    bench_frontier(spark, max(250_000, n_urls // 32))
     fr_samples = [bench_frontier(spark, n_urls) for _ in range(frontier_reps)]
     fr = min(fr_samples, key=lambda r: r["frontier_wall_sec"])
     spread["frontier_schedule_dedupe"] = [
