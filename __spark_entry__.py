@@ -69,9 +69,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (same column names).  As of
-    round 2 every ``queries()`` key has a full value oracle — including
+    """DuckDB-runnable ANSI SQL equivalents (same column names).  Every
+    ``queries()`` key has a full value oracle — including
     ``dedup_simhash`` (arithmetic bit family replayed as SQL literals)
     and ``ann_lsh_bucketed`` (integer hyperplanes embedded as list
-    literals)."""
+    literals) — except ``dedup_simhash_prod`` (xxhash64 token hashing,
+    not replayable in DuckDB; its oracle-gated twin is ``dedup_simhash``
+    with the identical plan shape, and pytest asserts the packed
+    fingerprint aggregate is bit-identical across both bit families)."""
     return _catalog.oracle_sql()

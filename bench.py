@@ -31,8 +31,9 @@ from pyspark.sql import functions as F
 
 from crawler_apple_podcast_spark.functions.urls import canonicalize_url
 from crawler_apple_podcast_spark.operators.bloom import build_bloom_shards, bloom_gated_anti_join
-from crawler_apple_podcast_spark.operators.politeness import politeness_gate
+from crawler_apple_podcast_spark.operators.politeness import politeness_gate, release_rank_cache
 from crawler_apple_podcast_spark.operators import similarity as S
+from crawler_apple_podcast_spark.operators.dedupe import release_dedupe_cache
 from crawler_apple_podcast_spark.session import get_spark
 import crawler_apple_podcast_spark.queries as catalog
 
@@ -46,11 +47,27 @@ HEADLINE = [
     "a2_skew_twophase_agg",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # the production xxhash64 SimHash (same plan shape as the
+    # oracle-gated dedup_simhash, which stays in the driver contract)
+    "dedup_simhash_prod",
     "ann_cosine_topk",
+    "knn_join_lsh",
     "text_stats",
     "text_fingerprint",
 ]
+
+
+def release_all_caches(spark) -> None:
+    """Steady-state semantics between timed runs: drain every module
+    cache registry (similarity signatures/candidates, dedupe estar
+    frames, politeness rank intermediates) and drop all storage blocks.
+    Without this, repeated headline reps accumulate persisted frames
+    and later queries inherit the churn (VERDICT r3: d1's spread rose
+    monotonically 1.78 -> 4.85 across reps)."""
+    S.release_similarity_cache()
+    release_dedupe_cache()
+    release_rank_cache()
+    spark.catalog.clearCache()
 
 
 def warmup(spark, sf_dir: str) -> None:
@@ -180,8 +197,14 @@ def bench_dedup_scale(spark, n_docs: int, group: int = 10_000) -> dict:
     that is expected and honest); this leg has the shared-shingle skew
     a real web corpus has (``group``-doc boilerplate groups -> the
     exact self-join pays 3*C(group,2) rows per group, quadratic in
-    group size), where the prune's linearity is the point.  Identical
-    output pairs asserted."""
+    group size), where the prune's linearity is the point.
+
+    ``dedup_scale_pairs_match`` compares pair COUNTS and is
+    probabilistic, not guaranteed: at threshold 500 the per-band hit
+    rate for a j~0.5 pair is j^3=0.125, so a borderline pair is missed
+    by all 12 bands with p=(1-0.125)^12~20%.  The planted near-copies
+    here sit at j~0.85 (P(miss)~1e-5), which is why the flag holds in
+    practice — but it can legitimately flip false at scale."""
     # A long bench session leaves JVM old-gen + Python-worker pressure
     # that can poison this leg (measured 13 s -> 107 s for the SAME
     # minhash run after a full headline suite); start it clean.
@@ -217,9 +240,10 @@ def main() -> None:
     )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # 8M default: small enough for a per-round driver run, large
-    # enough that per-URL work dominates the fixed per-run overhead.
-    n_urls = int(float(os.environ.get("BENCH_FRONTIER_URLS", "8000000")))
+    # 32M default — the scaling leg's N: large enough that per-URL work
+    # dominates fixed per-run overhead (at 8M the r3 headline lied low
+    # by 2x vs the same code path at 32M).
+    n_urls = int(float(os.environ.get("BENCH_FRONTIER_URLS", "32000000")))
     only_frontier = os.environ.get("BENCH_ONLY_FRONTIER") == "1"
 
     # Partition count is sized to the DATA, not the core count — on a
@@ -240,9 +264,34 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     total = 0.0
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    # 3 reps: this VM's host phases swing the same frontier leg 20-80 s
-    # run to run; best-of-3 with the published spread rides it out.
-    frontier_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "3"))
+    # 5 reps at the SCALING leg's methodology (32M URLs, 256 shuffle
+    # partitions), run FIRST on a clean heap: r3's headline frontier
+    # number (best-of-3 at 8M after the full headline suite) never
+    # converged — 76.3/33.2/24.8 s still falling — while the identical
+    # code path measured 679k URLs/s in the scaling leg's fresh JVM.
+    # The protocol, not the plan, set the record (VERDICT r3 #1).
+    frontier_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "5"))
+    frontier_shuffle = os.environ.get("BENCH_FRONTIER_SHUFFLE", "256")
+
+    # ---- frontier leg (north-rule headline), before any suite churn --
+    # Untimed warm of the full frontier path: probe-UDF JIT, Python
+    # worker imports and first-touch page provisioning otherwise land
+    # in the first timed rep (measured 71 s vs 20 s steady state).
+    spark.conf.set("spark.sql.shuffle.partitions", frontier_shuffle)
+    bench_frontier(spark, max(250_000, n_urls // 16))
+    fr_samples = [bench_frontier(spark, n_urls) for _ in range(frontier_reps)]
+    fr = min(fr_samples, key=lambda r: r["frontier_wall_sec"])
+    spread["frontier_schedule_dedupe"] = [
+        s["frontier_wall_sec"] for s in fr_samples
+    ]
+    total += fr["frontier_wall_sec"]
+    per_query["frontier_schedule_dedupe"] = fr["frontier_wall_sec"]
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    # Hand the headline suite a clean heap (the frontier leg touched
+    # ~10 GB of shuffle/broadcast blocks).
+    release_all_caches(spark)
+    spark.sparkContext._jvm.System.gc()
+
     if not only_frontier:
         for name in HEADLINE:
             fn = queries[name]
@@ -257,22 +306,13 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.time() - t0, 3))
+                # Between-rep hygiene: drain cache registries so reps
+                # measure steady state, not accumulated storage churn.
+                release_all_caches(spark)
             spread[name] = samples
             best = min(samples)
             per_query[name] = best
             total += best
-
-    # Untimed warm of the full frontier path at small n: probe-UDF JIT,
-    # Python worker imports and first-touch page provisioning otherwise
-    # land in the first timed rep (measured 71 s vs 20 s steady state).
-    bench_frontier(spark, max(250_000, n_urls // 32))
-    fr_samples = [bench_frontier(spark, n_urls) for _ in range(frontier_reps)]
-    fr = min(fr_samples, key=lambda r: r["frontier_wall_sec"])
-    spread["frontier_schedule_dedupe"] = [
-        s["frontier_wall_sec"] for s in fr_samples
-    ]
-    total += fr["frontier_wall_sec"]
-    per_query["frontier_schedule_dedupe"] = fr["frontier_wall_sec"]
 
     # Separate leg (not in `value`): prune-vs-exact on skewed input.
     n_dedup = int(os.environ.get("BENCH_DEDUP_DOCS", "20000"))

@@ -279,9 +279,24 @@ def bloom_gated_anti_join(
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen")
     if keep:
-        seen_hashes = _with_hashes(seen.select(key_col), key_col).select("_h1", "_h2")
-        confirmed_new = suspects.join(seen_hashes, ["_h1", "_h2"], "left_anti")
-        return definitely_new.unionByName(confirmed_new).drop("_h1", "_h2")
+        # NULL-key parity with the string confirm: SQL NULL never
+        # matches in an anti-join, so NULL-key candidates are always
+        # kept — but xxhash64(NULL) is a CONSTANT, so the hash-pair
+        # anti-join would wrongly drop them against any NULL seen row.
+        # Route NULL keys straight to the output and hash-confirm only
+        # non-null keys on both sides.
+        null_new = suspects.where(F.col(key_col).isNull())
+        seen_hashes = _with_hashes(
+            seen.where(F.col(key_col).isNotNull()).select(key_col), key_col
+        ).select("_h1", "_h2")
+        confirmed_new = suspects.where(F.col(key_col).isNotNull()).join(
+            seen_hashes, ["_h1", "_h2"], "left_anti"
+        )
+        return (
+            definitely_new.unionByName(confirmed_new)
+            .unionByName(null_new)
+            .drop("_h1", "_h2")
+        )
     confirmed_new = suspects.join(
         seen.select(key_col).distinct(), key_col, "left_anti"
     )

@@ -223,3 +223,89 @@ def politeness_gate(
     scheduled = ranked.where(F.col("_rn") <= F.col("_budget")).drop(*helper)
     deferred = ranked.where(F.col("_rn") > F.col("_budget")).drop(*helper)
     return scheduled, deferred
+
+
+# -------------------------------------------------- cross-wave pacing
+#
+# The per-wave budget alone is a RATE only when every wave lasts
+# exactly ``wave_seconds``: floor() truncation loses up to one
+# crawl-delay of credit per wave, and variable wave lengths let a
+# short wave followed by a long one exceed the host's average rate.
+# The reference's semantics is a rate — one fetch per 10-15 s per host
+# (crawler_podcasts.py:81) — so the engine carries per-host credit
+# across waves in a tiny (host, carry_ms) ledger:
+#
+#   credit  = wave_ms + carry          (ms the host may spend)
+#   budget  = max(0, credit // delay)  (0 = host still in debt: a
+#                                       30 s-delay host in 10 s waves
+#                                       fetches every 3rd wave, never
+#                                       "at least once per wave")
+#   carry'  = credit - n*delay   if the host used its full budget
+#           = 0                  if it scheduled fewer than allowed
+#                                (idle time is NOT banked — a host
+#                                with an empty frontier must not earn
+#                                a burst allowance for later)
+#
+# All three frames are host-dim-sized (broadcastable); the big
+# frontier is only ever touched by the gate itself.
+
+
+def host_delays(robots: DataFrame, default_delay_ms: int = 5000) -> DataFrame:
+    """(host, delay_ms) dim table from robots crawl-delays."""
+    return robots.select(
+        "host",
+        (F.coalesce(F.col("crawl_delay"), F.lit(default_delay_ms / 1000.0)) * 1000)
+        .cast("long")
+        .alias("delay_ms"),
+    )
+
+
+def _with_credit(delays: DataFrame, carry: DataFrame | None, wave_ms: int) -> DataFrame:
+    d = delays
+    if carry is None:
+        return d.withColumn("_credit", F.lit(int(wave_ms)).cast("long"))
+    return (
+        d.join(F.broadcast(carry), "host", "left")
+        .withColumn(
+            "_credit", F.lit(int(wave_ms)) + F.coalesce(F.col("carry_ms"), F.lit(0))
+        )
+        .drop("carry_ms")
+    )
+
+
+def pacing_allowance(
+    delays: DataFrame, carry: DataFrame | None, wave_ms: int
+) -> DataFrame:
+    """Per-host budget for THIS wave under rate pacing: (host, budget).
+    Plugs straight into ``politeness_gate``'s ``budgets`` argument."""
+    c = _with_credit(delays, carry, wave_ms)
+    return c.select(
+        "host",
+        F.greatest(
+            F.lit(0), F.floor(F.col("_credit") / F.col("delay_ms"))
+        ).cast("int").alias("budget"),
+    )
+
+
+def pacing_carry_update(
+    delays: DataFrame,
+    carry: DataFrame | None,
+    scheduled_counts: DataFrame,
+    wave_ms: int,
+) -> DataFrame:
+    """Next wave's (host, carry_ms) ledger given what this wave
+    actually scheduled (``scheduled_counts``: (host, n))."""
+    c = _with_credit(delays, carry, wave_ms)
+    j = (
+        c.join(F.broadcast(scheduled_counts), "host", "left")
+        .withColumn("_n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn(
+            "_allow", F.greatest(F.lit(0), F.floor(F.col("_credit") / F.col("delay_ms")))
+        )
+    )
+    return j.select(
+        "host",
+        F.when(F.col("_n") < F.col("_allow"), F.lit(0).cast("long"))
+        .otherwise(F.col("_credit") - F.col("_n") * F.col("delay_ms"))
+        .alias("carry_ms"),
+    )

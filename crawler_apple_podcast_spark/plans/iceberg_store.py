@@ -96,11 +96,20 @@ class IcebergSnapshotStore:
             staged = df.withColumn("_wave", F.lit(wave).cast("int"))
             full = self._tbl(name)
             if self.spark.catalog.tableExists(full):
+                # Retry safety: a crash after some appends but before
+                # the marker leaves orphan rows at _wave=N; re-running
+                # commit_wave(N) must not duplicate them.  The DELETE
+                # prunes to the one _wave partition (one Iceberg
+                # delete-files snapshot, metadata-only when the
+                # partition is whole files).
+                self.spark.sql(f"DELETE FROM {full} WHERE _wave = {int(wave)}")
                 staged.writeTo(full).append()
             else:
                 staged.writeTo(full).partitionedBy(F.col("_wave")).create()
             summary["tables"][name] = {"table": full}
         self._ensure_marker()
+        # Idempotent re-commit: one marker row per wave.
+        self.spark.sql(f"DELETE FROM {self._tbl('_waves')} WHERE wave = {int(wave)}")
         self.spark.createDataFrame(
             [(wave, summary["ts"], json.dumps(metrics or {}))],
             "wave INT, ts DOUBLE, metrics STRING",
@@ -116,6 +125,12 @@ class IcebergSnapshotStore:
         return None if row[0] is None else int(row[0])
 
     def read_wave(self, table: str, wave: int) -> DataFrame:
+        # Gate on the marker: orphan rows from a torn commit (appends
+        # landed, marker didn't) must never be reader-visible — the
+        # module docstring's 'readers never see' claim, enforced.
+        head = self.last_committed_wave()
+        if head is None or wave > head:
+            raise FileNotFoundError(f"wave {wave} not committed")
         return (
             self.spark.table(self._tbl(table))
             .where(F.col("_wave") == wave)  # partition-pruned scan

@@ -107,6 +107,7 @@ def run_download_cycle(
     fetch_fn=None,
     store: SnapshotStore | None = None,
     cycle: int = 0,
+    passthrough: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One full ledger lifecycle pass: claim -> upload -> finalize.
 
@@ -114,7 +115,12 @@ def run_download_cycle(
     is committed as snapshot ``2*cycle`` and the finalized ledger as
     ``2*cycle + 1`` — a kill between the two resumes from the claim
     snapshot with rows visibly stuck at ``status=2, lock=1`` (release
-    them with ``reclaim_stale``)."""
+    them with ``reclaim_stale``).
+
+    ``passthrough``: ledger rows that must NOT be claimed this cycle
+    (e.g. politeness-budget-deferred rows) but must still appear in
+    every committed snapshot and in the returned ledger — otherwise a
+    kill/resume from the last committed wave silently loses them."""
     lg = _with_ts(ledger, 0)
     claimable = lg.where(
         (F.col("status") == STATUS_INIT) & (F.col("lock") == 0)
@@ -127,8 +133,11 @@ def run_download_cycle(
     )
     claimed = merge_status(lg, claim_delta, LEDGER_KEY, "update_ts").localCheckpoint()
     if store is not None:
+        snap = claimed.drop("update_ts")
+        if passthrough is not None:
+            snap = snap.unionByName(passthrough)
         store.commit_wave(
-            2 * cycle, {"download_ledger": claimed.drop("update_ts")},
+            2 * cycle, {"download_ledger": snap},
             metrics={"phase": "claim", "cycle": cycle},
         )
 
@@ -147,6 +156,8 @@ def run_download_cycle(
         2,
     )
     final = merge_status(claimed, done_delta, LEDGER_KEY, "update_ts").drop("update_ts")
+    if passthrough is not None:
+        final = final.unionByName(passthrough)
     final = final.localCheckpoint()
     if store is not None:
         store.commit_wave(

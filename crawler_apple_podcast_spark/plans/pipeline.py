@@ -89,16 +89,19 @@ def run_podcast_pipeline(
         if now.limit(1).count() == 0:
             release_rank_cache()
             break
-        # Rows beyond this cycle's host budget are simply withheld from
-        # the cycle's input (still status-0); they re-enter next cycle.
+        # Rows beyond this cycle's host budget are withheld from the
+        # cycle's claimable input (still status-0) but ride along as
+        # ``passthrough`` so every committed ledger snapshot holds the
+        # FULL ledger — a kill/resume from the last committed wave must
+        # not lose deferred assets; they re-enter next cycle.
         deferred_ids = later.select("id")
         cycle_input = ledger.join(deferred_ids, "id", "left_anti")
         kept_back = ledger.join(deferred_ids, "id", "left_semi")
         ledger_now, outcomes = run_download_cycle(
             spark, cycle_input, bucket_root, fetch_fn=fetch_fn,
-            store=ledger_store, cycle=cycles,
+            store=ledger_store, cycle=cycles, passthrough=kept_back,
         )
-        ledger = ledger_now.unionByName(kept_back).localCheckpoint()
+        ledger = ledger_now.localCheckpoint()
         all_outcomes = (
             outcomes if all_outcomes is None else all_outcomes.unionByName(outcomes)
         )

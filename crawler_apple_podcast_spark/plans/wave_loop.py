@@ -34,6 +34,9 @@ from ..functions import urls as U
 from ..operators.politeness import (
     filter_disallowed,
     host_budgets,
+    host_delays,
+    pacing_allowance,
+    pacing_carry_update,
     parse_robots,
     politeness_gate,
     release_rank_cache,
@@ -52,6 +55,11 @@ class WaveConfig:
     max_waves: int = 64
     wave_seconds: int = 3600          # politeness wall-clock budget per wave
     use_politeness: bool = True
+    # Rate pacing: carry per-host credit across waves so the CRAWL-WIDE
+    # rate never exceeds 1/crawl_delay per host (the reference's
+    # semantics, crawler_podcasts.py:81), instead of resetting the
+    # budget every wave.  See operators/politeness.py pacing section.
+    use_rate_pacing: bool = False
     use_robots_disallow: bool = False  # reference never consults robots (quirk)
     default_budget: int = 1 << 30
     default_crawl_delay: int = 5
@@ -80,16 +88,18 @@ def make_join_fetcher(pages: DataFrame):
 
 def http_fetcher_stub(wave_side: DataFrame) -> DataFrame:
     """Live-fetch escape hatch (reference: requests.get at
-    handler/apple_podcast_api.py:43).  The real implementation is a
-    ``mapInPandas`` over the scheduled wave — one Arrow batch of URLs
-    per task, an HTTP client pool per executor, yielding
-    ``(seed_index, fetch_url, priority, wave, html)`` with html=null on
-    failure, politeness already enforced upstream by the gate.  Network
-    is out of sandbox scope, so this stub raises instead of pretending."""
+    handler/apple_podcast_api.py:43).  The real implementation exists:
+    ``plans/http_fetcher.make_http_fetcher`` — a ``mapInPandas`` over
+    the scheduled wave with a per-executor-process client, in-task
+    thread pool, and bounded retries; parity-tested against
+    ``make_join_fetcher`` with an injected fake client
+    (tests/test_http_fetcher.py).  Only the SOCKET is out of sandbox
+    scope: pass a requests/httpx session factory to
+    ``make_http_fetcher`` in production.  This argumentless stub
+    remains the honest marker that no network client exists here."""
     raise NotImplementedError(
-        "live HTTP fetching is out of sandbox scope; implement as "
-        "wave_side.mapInPandas(fetch_batch, schema=..., barrier=False) "
-        "with a per-executor HTTP session pool"
+        "no network in this sandbox; use plans.http_fetcher."
+        "make_http_fetcher(session_factory) for live crawling"
     )
 
 
@@ -159,6 +169,14 @@ def run_crawl(
         if cfg.use_politeness and robots is not None
         else None
     )
+    # Rate pacing: per-wave budgets derive from a carried credit
+    # ledger instead of resetting each wave.
+    pace_delays = (
+        host_delays(robots, cfg.default_crawl_delay * 1000).localCheckpoint()
+        if cfg.use_politeness and cfg.use_rate_pacing and robots is not None
+        else None
+    )
+    pace_carry: DataFrame | None = None
 
     frontier_schema = "seed_index INT, url STRING, priority INT"
     visited_schema = "seed_index INT, fetch_url STRING"
@@ -190,13 +208,26 @@ def run_crawl(
             f = filter_disallowed(f, robots)
 
         if cfg.use_politeness:
+            wave_budgets = (
+                pacing_allowance(pace_delays, pace_carry, cfg.wave_seconds * 1000)
+                if pace_delays is not None
+                else budgets
+            )
             scheduled, deferred = politeness_gate(
                 f,
-                budgets,
+                wave_budgets,
                 default_budget=cfg.default_budget,
                 key_cols=["seed_index", "fetch_url"],
                 salt_n=cfg.salt_n,
             )
+            if pace_delays is not None:
+                counts = (
+                    scheduled.groupBy(U.host_of(F.col("fetch_url")).alias("host"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                pace_carry = pacing_carry_update(
+                    pace_delays, pace_carry, counts, cfg.wave_seconds * 1000
+                ).localCheckpoint()
         else:
             scheduled, deferred = f, _empty(
                 spark, frontier_schema + ", fetch_url STRING"

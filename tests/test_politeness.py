@@ -87,3 +87,88 @@ def test_filter_disallowed(spark, corpus):
     )
     out = [r.seed_index for r in filter_disallowed(f, robots).collect()]
     assert out == [1]
+
+
+# ------------------------------------------------ cross-wave rate pacing
+
+
+def _delays(spark, rows):
+    return spark.createDataFrame(rows, "host STRING, delay_ms LONG")
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "host STRING, n LONG")
+
+
+def test_pacing_carries_fractional_credit(spark):
+    """delay 3 s, 10 s waves: allowances 3,3,4 then repeat — exactly
+    10 fetches per 30 s, the true rate; a per-wave floor() alone gives
+    9 (truncation loses credit every wave)."""
+    from crawler_apple_podcast_spark.operators.politeness import (
+        pacing_allowance,
+        pacing_carry_update,
+    )
+
+    d = _delays(spark, [("h", 3000)])
+    carry, seen = None, []
+    for _ in range(6):
+        allow = pacing_allowance(d, carry, 10_000)
+        n = allow.collect()[0].budget
+        seen.append(n)
+        carry = pacing_carry_update(d, carry, _counts(spark, [("h", n)]), 10_000)
+    assert seen == [3, 3, 4, 3, 3, 4]
+
+
+def test_pacing_debt_host_fetches_every_third_wave(spark):
+    """delay 30 s in 10 s waves: budget 0,0,1,0,0,1 — a host slower
+    than the wave is NEVER granted 'at least one per wave' (which
+    would triple its contracted rate)."""
+    from crawler_apple_podcast_spark.operators.politeness import (
+        pacing_allowance,
+        pacing_carry_update,
+    )
+
+    d = _delays(spark, [("slow", 30_000)])
+    carry, seen = None, []
+    for _ in range(6):
+        allow = pacing_allowance(d, carry, 10_000)
+        n = allow.collect()[0].budget
+        seen.append(n)
+        carry = pacing_carry_update(d, carry, _counts(spark, [("slow", n)]), 10_000)
+    assert seen == [0, 0, 1, 0, 0, 1]
+
+
+def test_pacing_idle_time_is_not_banked(spark):
+    """A host that scheduled less than its allowance resets to zero
+    carry: an empty frontier must not earn a later burst."""
+    from crawler_apple_podcast_spark.operators.politeness import (
+        pacing_allowance,
+        pacing_carry_update,
+    )
+
+    d = _delays(spark, [("h", 3000)])
+    # wave 1: allowance 3, but only 1 URL was available
+    carry = pacing_carry_update(d, None, _counts(spark, [("h", 1)]), 10_000)
+    assert carry.collect()[0].carry_ms == 0
+    # wave 2: allowance is back to the plain 3, not 3 + banked credit
+    assert pacing_allowance(d, carry, 10_000).collect()[0].budget == 3
+
+
+def test_crawl_with_rate_pacing_reaches_same_episode_set(spark, corpus):
+    """Pacing changes WHEN a URL is scheduled, never WHETHER: the
+    paced crawl (smaller waves, credit carried) emits exactly the
+    same episode rows as the unpaced one, just over more waves."""
+    from crawler_apple_podcast_spark.plans.wave_loop import WaveConfig, run_crawl
+
+    pages, seeds = corpus
+    base = run_crawl(spark, pages, seeds, WaveConfig(use_politeness=False))
+    paced = run_crawl(
+        spark,
+        pages,
+        seeds,
+        WaveConfig(wave_seconds=20, use_rate_pacing=True, max_waves=64),
+    )
+    a = base.episodes.orderBy("seed_index", "offset", "pos").drop("wave").collect()
+    b = paced.episodes.orderBy("seed_index", "offset", "pos").drop("wave").collect()
+    assert a == b
+    assert paced.n_waves >= base.n_waves

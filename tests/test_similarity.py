@@ -77,6 +77,74 @@ def test_simhash_identical_docs_and_hamming(spark):
     assert (1, 3) not in pairs or pairs[(1, 3)] > 0
 
 
+def test_simhash_packed_equals_naive_sums(spark, docs):
+    """The packed-counter fingerprint (2x32 / 4x16 lanes) is
+    bit-identical to the naive 64-independent-±1-sum formulation, for
+    both the production (xxhash64) and arithmetic bit families."""
+    from crawler_apple_podcast_spark.functions.text import tokens
+
+    def naive(df, bit_fn, hash_col):
+        tok = df.select(
+            F.col("doc_id").alias("doc_id"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        ).select("doc_id", hash_col.alias("h"))
+        sums = tok.groupBy("doc_id").agg(
+            *[
+                F.sum(F.when(bit_fn(i) == 1, 1).otherwise(-1)).alias(f"s{i}")
+                for i in range(64)
+            ]
+        )
+        fp = None
+        for i in range(64):
+            term = F.shiftleft(
+                F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                i,
+            )
+            fp = term if fp is None else fp.bitwiseOR(term)
+        return sums.select("doc_id", fp.alias("simhash"))
+
+    sub = docs.limit(50)
+    ref_prod = naive(
+        sub,
+        lambda i: F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)),
+        F.xxhash64(F.col("tok")),
+    )
+    P, Q = S.simhash_bit_params(64)
+    ref_arith = naive(
+        sub,
+        lambda i: ((F.col("h") * F.lit(P[i]) + F.lit(Q[i])) % F.lit(S.SIMHASH_M)) % 2,
+        S.char_sum(F.col("tok")),
+    )
+    for lanes in (2, 4):
+        got = S.simhash(sub, "doc_id", "text", lanes=lanes)
+        assert got.exceptAll(ref_prod).count() == 0
+        assert ref_prod.exceptAll(got).count() == 0
+        got_a = S.simhash_arith(sub, "doc_id", "text", lanes=lanes)
+        assert got_a.exceptAll(ref_arith).count() == 0
+        assert ref_arith.exceptAll(got_a).count() == 0
+
+
+def test_simhash_prod_finds_planted_near_dups(spark):
+    """dedup_simhash_prod's path: xxhash64 SimHash + pigeonhole blocking
+    finds a planted near-copy (1 token changed of 200) as a low-Hamming
+    pair and keeps unrelated docs apart."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(("CHANGED" if i == 7 else f"tok{i}") for i in range(200))
+    other = " ".join(f"zzz{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id INT, text STRING"
+    )
+    sims = S.simhash(df, "doc_id", "text")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in S.simhash_near_pairs(sims, max_hamming=3, chunks=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_simhash_near_pairs_rejects_bad_pigeonhole(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
     sims = S.simhash(df, "doc_id", "text")
@@ -259,3 +327,54 @@ def test_embedding_cosine_exact_matches_numpy(spark, emb):
             if c >= 300:
                 want[(a, b)] = c
     assert got == want
+
+
+def test_knn_join_bruteforce_exact(spark):
+    """Batch k-NN brute force returns the true top-k per query with the
+    deterministic (cosine desc, id asc) order, excluding self."""
+    import math
+    rng = __import__("numpy").random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = S.knn_join_bruteforce(df.where(F.col("vec_id") < 3), df, k=4, exclude_self=True)
+    rows = out.collect()
+    assert len(rows) == 12  # 3 queries x 4
+    # python replay on the quantized contract
+    def q(v):
+        return [math.floor(float(__import__("numpy").float32(x)) * 1000 + 0.5) for x in v]
+    by_q = {}
+    for qid, qv in vecs[:3]:
+        scored = []
+        for cid, cv in vecs:
+            if cid == qid:
+                continue
+            a, b = q(qv), q(cv)
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            scored.append((int(math.floor(1000.0 * dot / (na * nb))), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        by_q[qid] = [(c, m) for m, c in scored[:4]]
+    for r in rows:
+        assert by_q[r.query_id][r.rank - 1] == (r.neighbor_id, r.cosine_milli)
+
+
+def test_knn_join_lsh_recall_on_planted_neighbors(spark):
+    """Planted near-copies (cosine ~0.99) are recovered as rank-1
+    neighbors by the LSH join; recall vs brute force is high on true
+    near-dups, and the candidate set actually prunes."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16).astype("float64")
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]]))
+        # id 1000+i = near-copy of i (tiny perturbation)
+        rows.append((1000 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    qs = df.where(F.col("vec_id") < 40)
+    got = S.knn_join_lsh(qs, df, k=1, bands=4, rows_per_band=4,
+                         probe_bits=1, exclude_self=True)
+    top1 = {r.query_id: r.neighbor_id for r in got.collect()}
+    hits = sum(1 for i in range(40) if top1.get(i) == 1000 + i)
+    assert hits >= 36  # >= 90% planted-neighbor recall
