@@ -298,11 +298,16 @@ def minhash_dedup_pairs(
     # persist+count here would pay the confirm path twice.
     reg = _sim_cache if cache_registry is None else cache_registry
     sig = minhash_signatures_map_only(df, id_col, text_col, n, n_hashes).persist()
-    reg.append(sig)
     sig.count()
     cands = lsh_candidate_pairs(sig, bands, rows_per_band).persist()
     reg.append(cands)
     cands.count()
+    # sig is fully consumed once cands is materialized (nothing in the
+    # lazy result reads it) — release it NOW instead of parking it in
+    # the registry: loop-y callers that forget to drain the registry
+    # (ADVICE r3) then leak at most the candidate frame, not the
+    # full-corpus signature scan.
+    sig.unpersist()
     cand_docs = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))

@@ -72,9 +72,33 @@ class IcebergSnapshotStore:
         self.ns = f"{catalog}.{namespace}"
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
 
-    # -- helpers ---------------------------------------------------------
+    # -- backend hooks ----------------------------------------------------
+    # The commit/read PROTOCOL below (marker-last publish, idempotent
+    # re-commit via delete-before-append, reads gated on the marker)
+    # talks to storage only through these five hooks, so the protocol
+    # itself is exercised by tests with an in-memory backend
+    # (tests/test_iceberg_store.py) even though the Iceberg SQL backend
+    # needs the runtime jar this sandbox doesn't ship.
+
     def _tbl(self, table: str) -> str:
         return f"{self.ns}.{table}"
+
+    def _table_exists(self, full: str) -> bool:
+        return self.spark.catalog.tableExists(full)
+
+    def _read(self, full: str) -> DataFrame:
+        return self.spark.table(full)
+
+    def _delete_wave_rows(self, full: str, col: str, wave: int) -> None:
+        # Prunes to the one partition (one Iceberg delete-files
+        # snapshot, metadata-only when the partition is whole files).
+        self.spark.sql(f"DELETE FROM {full} WHERE {col} = {int(wave)}")
+
+    def _append(self, staged: DataFrame, full: str) -> None:
+        staged.writeTo(full).append()
+
+    def _create_partitioned(self, staged: DataFrame, full: str) -> None:
+        staged.writeTo(full).partitionedBy(F.col("_wave")).create()
 
     def _ensure_marker(self) -> None:
         self.spark.sql(
@@ -95,33 +119,31 @@ class IcebergSnapshotStore:
             # (e.g. wave metrics) already carry their own `wave` column.
             staged = df.withColumn("_wave", F.lit(wave).cast("int"))
             full = self._tbl(name)
-            if self.spark.catalog.tableExists(full):
+            if self._table_exists(full):
                 # Retry safety: a crash after some appends but before
                 # the marker leaves orphan rows at _wave=N; re-running
-                # commit_wave(N) must not duplicate them.  The DELETE
-                # prunes to the one _wave partition (one Iceberg
-                # delete-files snapshot, metadata-only when the
-                # partition is whole files).
-                self.spark.sql(f"DELETE FROM {full} WHERE _wave = {int(wave)}")
-                staged.writeTo(full).append()
+                # commit_wave(N) must not duplicate them.
+                self._delete_wave_rows(full, "_wave", wave)
+                self._append(staged, full)
             else:
-                staged.writeTo(full).partitionedBy(F.col("_wave")).create()
+                self._create_partitioned(staged, full)
             summary["tables"][name] = {"table": full}
         self._ensure_marker()
         # Idempotent re-commit: one marker row per wave.
-        self.spark.sql(f"DELETE FROM {self._tbl('_waves')} WHERE wave = {int(wave)}")
-        self.spark.createDataFrame(
+        self._delete_wave_rows(self._tbl("_waves"), "wave", wave)
+        marker = self.spark.createDataFrame(
             [(wave, summary["ts"], json.dumps(metrics or {}))],
             "wave INT, ts DOUBLE, metrics STRING",
-        ).writeTo(self._tbl("_waves")).append()  # marker LAST = publish
+        )
+        self._append(marker, self._tbl("_waves"))  # marker LAST = publish
         summary["metrics"] = metrics or {}
         return summary
 
     # -- readers ---------------------------------------------------------
     def last_committed_wave(self) -> int | None:
-        if not self.spark.catalog.tableExists(self._tbl("_waves")):
+        if not self._table_exists(self._tbl("_waves")):
             return None
-        row = self.spark.table(self._tbl("_waves")).agg(F.max("wave")).first()
+        row = self._read(self._tbl("_waves")).agg(F.max("wave")).first()
         return None if row[0] is None else int(row[0])
 
     def read_wave(self, table: str, wave: int) -> DataFrame:
@@ -132,7 +154,7 @@ class IcebergSnapshotStore:
         if head is None or wave > head:
             raise FileNotFoundError(f"wave {wave} not committed")
         return (
-            self.spark.table(self._tbl(table))
+            self._read(self._tbl(table))
             .where(F.col("_wave") == wave)  # partition-pruned scan
             .drop("_wave")
         )
@@ -143,14 +165,14 @@ class IcebergSnapshotStore:
             raise FileNotFoundError("no committed wave")
         last = head if up_to_wave is None else min(head, up_to_wave)
         return (
-            self.spark.table(self._tbl(table))
+            self._read(self._tbl(table))
             .where(F.col("_wave") <= last)
             .drop("_wave")
         )
 
     def manifest(self, wave: int) -> dict[str, Any]:
         row = (
-            self.spark.table(self._tbl("_waves")).where(F.col("wave") == wave).first()
+            self._read(self._tbl("_waves")).where(F.col("wave") == wave).first()
         )
         if row is None:
             raise FileNotFoundError(f"wave {wave} not committed")
