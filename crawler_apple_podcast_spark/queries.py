@@ -1058,7 +1058,8 @@ def knn_join_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qs = emb.where(F.col("vec_id") % 20 == 0)
     return S.knn_join_lsh(
-        qs, emb, k=5, bands=4, rows_per_band=4, probe_bits=1, exclude_self=True
+        qs, emb, k=5, bands=4, rows_per_band=4, probe_bits=1, exclude_self=True,
+        dim=64,  # testdata embedding width — skips the driver width probe
     )
 
 
