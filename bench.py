@@ -251,6 +251,48 @@ def main() -> None:
     # partitioning.  Comparing 16 vs 64 partitions on the same input
     # makes the small config spill and fakes super-linear scaling.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(int(cpus) * 2)))
+
+    # ---- frontier leg (north-rule headline), in its OWN JVM ---------
+    # 5 reps at the SCALING leg's methodology (32M URLs, 256 shuffle
+    # partitions), in a dedicated subprocess: r3's headline frontier
+    # number (best-of-3 at 8M after the full headline suite, same JVM)
+    # never converged — 76.3/33.2/24.8 s still falling — while the
+    # identical code path measured 679k URLs/s in the scaling leg's
+    # fresh JVM.  The protocol, not the plan, set the record (VERDICT
+    # r3 #1).  The reverse contamination is just as real: running the
+    # suite AFTER the 32M frontier leg in one JVM left dedup_minhash
+    # at 8-21 s vs 1.9 s clean.  local-mode PySpark reuses the py4j
+    # JVM across SparkSession stop/start, so true isolation = one
+    # subprocess per leg (same trick as scripts/bench_scaling.py).
+    if only_frontier:
+        frontier_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "5"))
+        frontier_shuffle = int(os.environ.get("BENCH_FRONTIER_SHUFFLE", "256"))
+        spark = get_spark(
+            app_name="bench-frontier",
+            master=f"local[{cpus}]",
+            shuffle_partitions=frontier_shuffle,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # Untimed warm of the full frontier path: probe-UDF JIT, Python
+        # worker imports and first-touch page provisioning otherwise
+        # land in the first timed rep (measured 71 s vs 20 s steady).
+        bench_frontier(spark, max(250_000, n_urls // 16))
+        fr_samples = [bench_frontier(spark, n_urls) for _ in range(frontier_reps)]
+        fr = min(fr_samples, key=lambda r: r["frontier_wall_sec"])
+        fr["frontier_spread"] = [s["frontier_wall_sec"] for s in fr_samples]
+        print(json.dumps(fr))
+        return
+
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_ONLY_FRONTIER="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    fr = json.loads(proc.stdout.strip().splitlines()[-1])
+
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -264,33 +306,9 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     total = 0.0
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    # 5 reps at the SCALING leg's methodology (32M URLs, 256 shuffle
-    # partitions), run FIRST on a clean heap: r3's headline frontier
-    # number (best-of-3 at 8M after the full headline suite) never
-    # converged — 76.3/33.2/24.8 s still falling — while the identical
-    # code path measured 679k URLs/s in the scaling leg's fresh JVM.
-    # The protocol, not the plan, set the record (VERDICT r3 #1).
-    frontier_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "5"))
-    frontier_shuffle = os.environ.get("BENCH_FRONTIER_SHUFFLE", "256")
-
-    # ---- frontier leg (north-rule headline), before any suite churn --
-    # Untimed warm of the full frontier path: probe-UDF JIT, Python
-    # worker imports and first-touch page provisioning otherwise land
-    # in the first timed rep (measured 71 s vs 20 s steady state).
-    spark.conf.set("spark.sql.shuffle.partitions", frontier_shuffle)
-    bench_frontier(spark, max(250_000, n_urls // 16))
-    fr_samples = [bench_frontier(spark, n_urls) for _ in range(frontier_reps)]
-    fr = min(fr_samples, key=lambda r: r["frontier_wall_sec"])
-    spread["frontier_schedule_dedupe"] = [
-        s["frontier_wall_sec"] for s in fr_samples
-    ]
+    spread["frontier_schedule_dedupe"] = fr.pop("frontier_spread")
     total += fr["frontier_wall_sec"]
     per_query["frontier_schedule_dedupe"] = fr["frontier_wall_sec"]
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
-    # Hand the headline suite a clean heap (the frontier leg touched
-    # ~10 GB of shuffle/broadcast blocks).
-    release_all_caches(spark)
-    spark.sparkContext._jvm.System.gc()
 
     if not only_frontier:
         for name in HEADLINE:

@@ -373,17 +373,25 @@ def _packed_fingerprint(
         aggs.append(F.sum(packed).alias(f"_p{g}"))
     agg = tok.groupBy("doc_id").agg(*aggs)
     mask = (1 << width) - 1
-    fp = None
-    for g in range(groups):
-        for j in range(lanes):
-            cnt = F.shiftright(F.col(f"_p{g}"), width * j).bitwiseAND(F.lit(mask))
-            bitval = (
-                F.when(cnt * 2 > F.col("_n"), F.lit(1).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            t = F.shiftleft(bitval, g + groups * j)
-            fp = t if fp is None else fp.bitwiseOR(t)
-    return agg.select("doc_id", fp.alias("simhash"))
+    # Assembly as ONE higher-order aggregate over sequence(0, bits-1)
+    # instead of a bits-term expression tree: the flat tree version
+    # carries fresh expression IDs every invocation, so its ~bits-sized
+    # generated method misses the whole-stage-codegen source cache and
+    # recompiles per query (~1.5 s of driver time measured at 64 bits).
+    # The lambda is one small expression evaluated `bits` times at
+    # runtime on one row per DOC — negligible executor cost, constant
+    # compile cost.  Bit i lives in packed column _p{i % groups},
+    # lane j = i div groups; sign(sum ±1) == (2*count > n).
+    parr = F.array(*[F.col(f"_p{g}") for g in range(groups)])
+    fp = F.expr(
+        "aggregate(sequence(0, {b}), cast(0 as bigint), (acc, i) -> acc + shiftleft("
+        " case when (shiftright(element_at(_parr, cast(i % {g} as int) + 1),"
+        "                       cast({w} * (i div {g}) as int)) & {m}) * 2 > _n"
+        " then cast(1 as bigint) else cast(0 as bigint) end, cast(i as int)))".format(
+            b=bits - 1, g=groups, w=width, m=mask
+        )
+    )
+    return agg.withColumn("_parr", parr).select("doc_id", fp.alias("simhash"))
 
 
 def simhash(
@@ -460,6 +468,15 @@ def simhash_near_pairs(
             f"pigeonhole requires max_hamming < chunks, got {max_hamming} >= {chunks}"
         )
     width = 64 // chunks
+    # Persist the fingerprints before the self-join: both join sides
+    # derive from `sims`, and unpersisted Spark recomputes the whole
+    # token-explode + packed aggregate once PER SIDE (~2x the
+    # fingerprint cost, measured 3.6 s vs 2.0 s at sf0.1).  The frame
+    # is (doc_id, long) — tiny at any corpus scale — and registers for
+    # release via release_similarity_cache().
+    sims = sims.persist()
+    _sim_cache.append(sims)
+    sims.count()
     chunk_cols = [
         F.shiftrightunsigned(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1))
