@@ -940,3 +940,112 @@ def knn_join_lsh(
         )
     )
     return _topk_per_query(scored, k)
+
+
+# ------------------------------------------------- IVF batch k-NN join
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic data-sampled centroids: the quantized vectors of
+    ids divisible by ``stride = max(1, count // n_centroids)``, in id
+    order, first ``n_centroids`` of them — cell index = position in
+    that order.  No k-means iterations: the stride rule keeps the
+    coarse quantizer exactly replayable in the SQL oracle; a production
+    deployment can drop in Lloyd-refined centroids via the
+    ``centroids`` argument of ``knn_join_ivf`` (same assignment/search
+    code; the oracle then only covers the sampled variant).  Returns an
+    (n_centroids, dim) int64 matrix on the driver — the coarse codebook
+    is tiny by construction (256-64k rows even at 10^10 scale) and
+    ships to executors as a broadcast."""
+    stride = max(1, corpus.count() // n_centroids)
+    sampled = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .where(F.col("i") % stride == 0)
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    return quantize_vec(np.stack([np.asarray(r.v, dtype=np.float64) for r in sampled]))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) rows: each vector's ``nprobe`` nearest coarse cells
+    by cosine (argmax of exact-integer dot / centroid norm, first index
+    wins ties — the same rule the SQL oracle replays with
+    list_indexof).  One Arrow-batched matmul per batch; no shuffle."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        m = quantize_vec(np.stack(vecs.to_numpy()).astype(np.float64))
+        c = bc.value  # (C, dim) int64
+        norms = np.sqrt((c * c).sum(axis=1))  # exact ints -> correctly-rounded
+        scores = (m @ c.T) / norms  # IEEE double, replayable
+        k = min(nprobe, c.shape[0])
+        # stable top-k by (-score, index): argsort is stable, first
+        # index wins ties — matches the oracle's list_indexof(max)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(order.astype("int32")))
+
+    return df.select(
+        F.col(id_col), F.explode(_cells(F.col(vec_col))).alias("cell")
+    )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Batch k-NN join, IVF path: corpus vectors live in their ONE
+    nearest coarse cell; each query probes its ``nprobe`` nearest
+    cells; candidates = (query, corpus) pairs sharing a cell — an
+    equi-join on the cell id, never a cross join.  Exact
+    quantized-cosine confirm + per-query windowed top-k, same contract
+    as ``knn_join_lsh``.
+
+    vs LSH banding: IVF adapts to the DATA (cells follow density;
+    hyperplanes are data-oblivious), at the cost of a codebook.
+    Expected candidate fraction ~ nprobe/n_centroids of the corpus per
+    query; recall depends on how well cells separate the neighborhood —
+    pytest measures it on planted near-dups, and top-k-of-candidates is
+    exact vs the oracle replaying the same assignment rule."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids, corpus_id, vec_col)
+    c_cells = ivf_assign(corpus, centroids, 1, corpus_id, vec_col).select(
+        F.col(corpus_id).alias("cid"), "cell"
+    )
+    q_cells = ivf_assign(queries, centroids, nprobe, query_id, vec_col).select(
+        F.col(query_id).alias("qid"), "cell"
+    )
+    cands = q_cells.join(c_cells, "cell").select("qid", "cid").distinct()
+    if exclude_self:
+        cands = cands.where(F.col("qid") != F.col("cid"))
+    qs, cs = _quantized_sides(queries, corpus, query_id, corpus_id, vec_col)
+    dot = _qdot(F.col("_qq"), F.col("_qc"))
+    scored = (
+        cands.join(qs, "qid")
+        .join(cs, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.floor(F.lit(1000.0) * dot / (F.sqrt("_nq") * F.sqrt("_nc")))
+            .cast("long")
+            .alias("cosine_milli"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -1063,6 +1063,57 @@ def knn_join_lsh(spark, sf):
     )
 
 
+def _knn_ivf_oracle(n_centroids: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    """SQL replay of the IVF join: stride-sampled centroid codebook
+    (cell = position in vec_id order), per-vector argmax assignment via
+    row_number over (score desc, cell) — the same first-index-wins tie
+    rule numpy's stable argsort applies — corpus in 1 cell, queries
+    probing ``nprobe``, exact quantized cosine, top-k."""
+    return (
+        "WITH e0 AS (SELECT vec_id,"
+        " list_transform(embedding::DOUBLE[], x -> floor(x * 1000 + 0.5)) AS qe"
+        " FROM embeddings),"
+        " n AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nq"
+        " FROM e0 WHERE list_dot_product(qe, qe) > 0),"
+        f" st AS (SELECT greatest(1, count(*) // {n_centroids}) AS s FROM e0),"
+        " cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+        " qe AS cv, list_dot_product(qe, qe) AS cn FROM e0, st"
+        f" WHERE vec_id % s = 0 ORDER BY vec_id LIMIT {n_centroids}),"
+        " sc AS (SELECT n.vec_id, cent.cell,"
+        " list_dot_product(n.qe, cent.cv) / sqrt(cent.cn) AS score"
+        " FROM n CROSS JOIN cent),"
+        " ranked AS (SELECT vec_id, cell, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc),"
+        " cassign AS (SELECT vec_id AS cid, cell FROM ranked WHERE rn <= 1),"
+        " qassign AS (SELECT vec_id AS qid, cell FROM ranked"
+        f" WHERE rn <= {nprobe} AND vec_id % 20 = 0),"
+        " cand AS (SELECT DISTINCT qid, cid FROM qassign JOIN cassign USING (cell)"
+        " WHERE qid <> cid),"
+        " scored AS (SELECT cand.qid AS query_id, cand.cid AS neighbor_id,"
+        " CAST(floor(1000.0 * list_dot_product(q.qe, c.qe)"
+        " / (sqrt(q.nq) * sqrt(c.nq))) AS BIGINT) AS cosine_milli"
+        " FROM cand JOIN n q ON cand.qid = q.vec_id JOIN n c ON cand.cid = c.vec_id)"
+        " SELECT query_id, neighbor_id, cosine_milli, CAST(rank AS BIGINT) AS rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine_milli DESC, neighbor_id) AS rank FROM scored) t"
+        f" WHERE rank <= {k}"
+    )
+
+
+@q("knn_join_ivf", _knn_ivf_oracle())
+def knn_join_ivf(spark, sf):
+    """Batch k-NN join, IVF path: stride-sampled coarse codebook,
+    Arrow-matmul cell assignment (corpus 1 cell, queries probe 2),
+    cell equi-join candidates, exact cosine confirm, per-query top-5.
+    Oracle replays the identical assignment rule, so the driver check
+    is exact (top-k of the candidate set)."""
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") % 20 == 0)
+    return S.knn_join_ivf(
+        qs, emb, k=5, n_centroids=8, nprobe=2, exclude_self=True
+    )
+
+
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
 
 @q(

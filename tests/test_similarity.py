@@ -380,3 +380,41 @@ def test_knn_join_lsh_recall_on_planted_neighbors(spark):
     top1 = {r.query_id: r.neighbor_id for r in got.collect()}
     hits = sum(1 for i in range(40) if top1.get(i) == 1000 + i)
     assert hits >= 36  # >= 90% planted-neighbor recall
+
+
+def test_knn_join_ivf_recall_on_planted_neighbors(spark):
+    """IVF cell assignment puts a near-copy (cosine ~0.99) in the same
+    coarse cell as its source with overwhelming probability; top-1 via
+    the IVF join recovers the planted pair."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16).astype("float64")
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((1000 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    qs = df.where(F.col("vec_id") < 40)
+    got = S.knn_join_ivf(qs, df, k=1, n_centroids=8, nprobe=2, exclude_self=True)
+    top1 = {r.query_id: r.neighbor_id for r in got.collect()}
+    hits = sum(1 for i in range(40) if top1.get(i) == 1000 + i)
+    assert hits >= 36  # >= 90% planted-neighbor recall
+
+
+def test_knn_join_ivf_candidates_prune(spark):
+    """The IVF join scores only same-cell pairs — strictly fewer than
+    the |Q| x |C| cross join (the point of the coarse quantizer)."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    qs = df.where(F.col("vec_id") % 10 == 0)
+    cents = S.ivf_centroids(df, 8, "vec_id", "embedding")
+    c_cells = S.ivf_assign(df, cents, 1)
+    q_cells = S.ivf_assign(qs, cents, 2)
+    n_cand = (
+        q_cells.withColumnRenamed("vec_id", "qid")
+        .join(c_cells.withColumnRenamed("vec_id", "cid"), "cell")
+        .select("qid", "cid").distinct().count()
+    )
+    assert n_cand < 20 * 200 * 0.6  # well under the cross join
