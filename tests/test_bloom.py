@@ -122,3 +122,27 @@ def test_gated_anti_join_hash_confirm_equals_exact(spark):
     # output schema must not leak the internal hash columns
     out_cols = bloom_gated_anti_join(new, seen, bloom, confirm_on="hashes").columns
     assert out_cols == ["url", "priority"]
+
+
+def test_hash_confirm_keeps_null_keys(spark):
+    """NULL-key parity between confirm modes (ADVICE r3): SQL NULL
+    never matches in an anti-join, so a NULL-key candidate survives the
+    string confirm — and must survive the hash confirm too, where
+    xxhash64(NULL) is a CONSTANT that would otherwise collide with any
+    NULL seen row and wrongly drop it."""
+    seen = _urls(spark, 50, "seen").unionAll(
+        spark.createDataFrame([(None,)], "url STRING")
+    )
+    new = (
+        _urls(spark, 30, "seen")
+        .unionAll(_urls(spark, 20, "new"))
+        .unionAll(spark.createDataFrame([(None,), (None,)], "url STRING"))
+    )
+    bloom = build_bloom_shards(
+        seen.where(F.col("url").isNotNull()), n_shards=4, m_bits=1 << 10, k=3
+    )
+    for mode in ("urls", "hashes"):
+        got = bloom_gated_anti_join(new, seen, bloom, confirm_on=mode).collect()
+        urls = [r.url for r in got]
+        assert urls.count(None) == 2, mode  # both NULL candidates kept
+        assert len(urls) == 22, mode        # 20 new + 2 NULL
