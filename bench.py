@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_simhash_prod",
     "ann_cosine_topk",
     "knn_join_lsh",
+    # the composite corpus-prep chain (gates -> exact dedup -> MinHash
+    # near-dup removal -> token accounting) as ONE job
+    "corpus_prep_pipeline",
     "text_stats",
     "text_fingerprint",
 ]

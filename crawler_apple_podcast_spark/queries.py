@@ -1153,6 +1153,105 @@ def text_fingerprint(spark, sf):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+# The composite an LLM-data pipeline actually runs as ONE job: language
+# gate -> quality gate -> exact dedup -> near-dup removal -> token
+# accounting.  Every stage is a §2.9 operator; the oracle replays the
+# chain with the EXACT all-pairs Jaccard in place of the MinHash prune
+# (prune-only + exact confirm, so the outputs agree).
+_CORPUS_PREP_ORACLE = (
+    "WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " c AS (SELECT doc_id, text, tk,"
+    f" (len(list_filter(tk, x -> x IN {{stop}}))*1000)//len(tk) AS stop_m,"
+    " (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))*1000)//length(text) AS alpha_m,"
+    " CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1000 ELSE 200 END AS len_m FROM t),"
+    " q0 AS (SELECT doc_id, text, tk, stop_m, (stop_m+alpha_m+len_m)//3 AS quality_milli FROM c),"
+    " kept AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id"
+    " FROM q0 WHERE stop_m >= 30 AND quality_milli >= {qthr}),"
+    " kept2 AS (SELECT doc_id, text, tk, quality_milli FROM kept WHERE doc_id = keep_id),"
+    " sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle FROM kept2 WHERE len(tk) >= 3),"
+    " cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_cnt"
+    " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+    " pairs AS (SELECT doc_a, doc_b FROM inter"
+    " JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
+    " WHERE (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) >= {jthr}),"
+    " final AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs))"
+    " SELECT doc_id, quality_milli, len(tk)::BIGINT AS n_tokens,"
+    " len(regexp_extract_all(text, '[A-Za-z0-9'']+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe"
+    " FROM final"
+).format(stop=_STOP_SQL, qthr=600, jthr=500)
+
+
+def corpus_prep_frame(
+    d: DataFrame, quality_threshold: int = 600, jaccard_threshold_milli: int = 500
+) -> DataFrame:
+    """End-to-end training-corpus prep over a ``documents``-shaped frame
+    as one plan: language gate (stopword-ratio lang-id) -> quality gate
+    (integer per-mille score) -> exact dedup (keep min doc_id per md5)
+    -> MinHash-LSH near-dup removal (drop the greater doc of every
+    confirmed pair; prune-only + exact confirm, so the result equals
+    the oracle's exact-Jaccard replay) -> per-doc token accounting.
+
+    Scale shape: gates and scoring are pure JVM column exprs on the
+    scan; exact dedup is one window over md5 partitions; the only
+    corpus-wide shuffles are that window and the LSH band join (the
+    signature scan is a zero-shuffle narrow map over the gated
+    subset — at 100 TB the near-dup stage only ever touches docs that
+    survive the cheap gates)."""
+    # Tokenize ONCE in a dedicated projection (the lambda re-eval trap:
+    # Catalyst does not CSE across higher-order functions, so deriving
+    # every stat straight from `text` re-splits the document per
+    # column), then derive all gate stats from the array.  Semantics
+    # identical to T.quality_score_milli / T.lang_id / token counts.
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    t1 = d.select("doc_id", "text", T.tokens(F.col("text")).alias("_tk"))
+    n_tokens = F.size("_tk").cast("long")
+    n_stop = F.size(F.filter("_tk", lambda x: F.array_contains(stops, x))).cast("long")
+    stop_m = idiv(n_stop * F.lit(1000), n_tokens)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("long")
+    alpha_m = idiv(alpha * F.lit(1000), F.length("text").cast("long"))
+    len_m = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1000))
+        .otherwise(F.lit(200))
+        .cast("long")
+    )
+    scored = t1.select(
+        "doc_id",
+        "text",
+        idiv(stop_m + alpha_m + len_m, F.lit(3)).alias("quality_milli"),
+        stop_m.alias("_stop_m"),
+        n_tokens.alias("n_tokens"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+    kept = scored.where(
+        (F.col("_stop_m") >= 30) & (F.col("quality_milli") >= quality_threshold)
+    ).drop("_stop_m")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    kept = (
+        kept.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .where(F.col("_keep"))
+        .drop("_keep")
+    )
+    # Three consumers read the gated subset (signature scan, exact
+    # confirm, final anti-join) — materialize it once instead of
+    # re-running the scan+gates+window per consumer.
+    kept = kept.localCheckpoint()
+    pairs = S.minhash_dedup_pairs(
+        kept, "doc_id", "text", 3, jaccard_threshold_milli
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    out = kept.join(drop, "doc_id", "left_anti")
+    return out.select("doc_id", "quality_milli", "n_tokens", "n_bpe")
+
+
+@q("corpus_prep_pipeline", _CORPUS_PREP_ORACLE)
+def corpus_prep_pipeline(spark, sf):
+    """The composite corpus-prep chain (see ``corpus_prep_frame``)."""
+    return corpus_prep_frame(_t(spark, sf, "documents"))
+
+
 @q(
     "text_quality_score",
     "WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
