@@ -3,3 +3,4 @@ from .frontier_stream import (  # noqa: F401
     host_rate_metrics,
     run_frontier_stream,
 )
+from .stateful_pacer import paced_admissions  # noqa: F401
