@@ -235,6 +235,75 @@ def bench_dedup_scale(spark, n_docs: int, group: int = 10_000) -> dict:
     }
 
 
+def synth_embeddings(spark, n: int, clusters: int = 200, dim: int = 64):
+    """Clustered embeddings generated executor-side (no driver
+    materialization): vector = smooth per-cluster center (sin lattice,
+    distinct frequency per cluster) + small per-id perturbation, so
+    cluster-mates sit at cosine ~0.999 and cross-cluster pairs are
+    weakly correlated — the shape ANN blocking exists for."""
+    base = spark.range(n)
+    cl = F.pmod(F.col("id"), F.lit(clusters)).cast("double")
+    comps = []
+    for d in range(dim):
+        center = F.sin((cl + 1) * F.lit((d + 1) * 0.37))
+        noise = F.lit(0.02) * F.sin(
+            (F.col("id") + 1).cast("double") * F.lit((d + 3) * 1.7)
+        )
+        comps.append((center + noise).cast("float"))
+    return base.select(F.col("id").alias("vec_id"), F.array(*comps).alias("embedding"))
+
+
+def bench_knn_scale(spark, n_vecs: int, stride: int = 200, k: int = 10) -> dict:
+    """Batch k-NN join, exact cross-join vs LSH-bucketed, on the SAME
+    clustered input — the many-queries shape a training pipeline runs
+    (every doc wants neighbors), where the cross join is quadratic in
+    |Q|x|C| and the banded equi-join is linear in candidates.  Recall
+    is MEASURED against the exact join's (query, neighbor) pairs — the
+    blocking is allowed to miss (that is its contract; both sides use
+    the same deterministic total order, so set difference = recall
+    loss, never tie noise)."""
+    spark.catalog.clearCache()
+    corpus = synth_embeddings(spark, n_vecs).localCheckpoint()
+    queries = corpus.where(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).localCheckpoint()
+
+    t0 = time.time()
+    exact = (
+        S.knn_join_bruteforce(queries, corpus, k=k, exclude_self=True)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    exact_s = time.time() - t0
+
+    t0 = time.time()
+    lsh = (
+        # 16-bit band keys: the bucket space (2^rows_per_band) must
+        # stay large relative to |corpus| or random collisions flood
+        # the candidate set (measured: 8-bit keys -> 256 buckets ->
+        # 754k candidates for 250 queries on 20k vectors; 16-bit keys
+        # -> ~66k, nearly all true cluster-mates).  2-bit multiprobe
+        # keeps per-neighbor band-miss ~2e-3^4 — recall ~1.0.
+        S.knn_join_lsh(
+            queries, corpus, k=k, bands=4, rows_per_band=16, probe_bits=2,
+            exclude_self=True, dim=64,
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    lsh_s = time.time() - t0
+
+    n_exact = exact.count()
+    matched = exact.join(lsh, ["query_id", "neighbor_id"]).count()
+    spark.catalog.clearCache()
+    return {
+        "knn_scale_corpus": n_vecs,
+        "knn_scale_queries": n_vecs // stride,
+        "knn_scale_exact_sec": round(exact_s, 3),
+        "knn_scale_lsh_sec": round(lsh_s, 3),
+        "knn_scale_recall": round(matched / max(1, n_exact), 4),
+        "knn_scale_speedup": round(exact_s / lsh_s, 2),
+    }
+
+
 def main() -> None:
     # Pre-provision the heap during (untimed) startup: this VM faults
     # guest pages in lazily at erratic rates — see BENCH/BASELINE.md.
@@ -350,6 +419,14 @@ def main() -> None:
     n_dedup = int(os.environ.get("BENCH_DEDUP_DOCS", "20000"))
     dd = bench_dedup_scale(spark, n_dedup) if n_dedup and not only_frontier else {}
 
+    # Separate leg: batch k-NN join, exact vs LSH, with measured recall.
+    # 100k x 500: large enough that the exact cross join's |Q|x|C|
+    # quadratic cost separates from the bucketed join's near-linear
+    # cost (measured 42.5 s vs 17.6 s, recall 1.0, speedup 2.4x; at
+    # 20k x 250 the 5M-pair exact leg is too small to separate).
+    n_knn = int(os.environ.get("BENCH_KNN_VECS", "100000"))
+    kn = bench_knn_scale(spark, n_knn) if n_knn and not only_frontier else {}
+
     out = {
         "metric": "frontier URLs scheduled+deduped per second (north rule) "
         "+ headline query suite wall time",
@@ -360,6 +437,7 @@ def main() -> None:
         "sf": sf_dir,
         **fr,
         **dd,
+        **kn,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

@@ -899,26 +899,35 @@ def knn_join_lsh(
     ).select("cid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     # Queries: every probe key within `probe_bits` flips, per band.
+    # The flip masks are data, not expression literals: at
+    # ``sum_{d<=p} C(rows_per_band, d)`` probes per band the literal
+    # form grows a bands*probes-struct array expression that blows
+    # whole-stage codegen past the JVM method limit (548 structs at
+    # 16x4 planes, p=2).  A broadcast join with the tiny mask table
+    # keeps the expression constant-size; the probe blowup happens in
+    # the data plane, where it belongs.
     flips = [
         sum(1 << b for b in flip)
         for d in range(probe_bits + 1)
         for flip in combinations(range(rows_per_band), d)
     ]
-    q_probes = qsig.select(
+    q_bands = qsig.select(
         F.col(query_id).alias("qid"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        band_key(j).bitwiseXOR(F.lit(m)).alias("key"),
-                    )
+                    F.struct(F.lit(j).alias("band"), band_key(j).alias("key0"))
                     for j in range(bands)
-                    for m in flips
                 ]
             )
         ).alias("bk"),
-    ).select("qid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("qid", F.col("bk.band").alias("band"), F.col("bk.key0").alias("key0"))
+    flips_df = queries.sparkSession.createDataFrame(
+        [(int(m),) for m in flips], "mask LONG"
+    )
+    q_probes = q_bands.crossJoin(F.broadcast(flips_df)).select(
+        "qid", "band", F.col("key0").bitwiseXOR(F.col("mask")).alias("key")
+    )
 
     cands = (
         q_probes.join(c_buckets, ["band", "key"]).select("qid", "cid").distinct()
