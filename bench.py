@@ -442,9 +442,10 @@ def main() -> None:
 
     # Separate leg: batch k-NN join, exact vs LSH, with measured recall.
     # 100k x 500: large enough that the exact cross join's |Q|x|C|
-    # quadratic cost separates from the bucketed join's near-linear
-    # cost (measured 42.5 s vs 17.6 s, recall 1.0, speedup 2.4x; at
-    # 20k x 250 the 5M-pair exact leg is too small to separate).
+    # quadratic cost separates from the bucketed joins' near-linear
+    # cost (measured: exact 56.4 s, LSH 21.3 s, IVF 5.5 s, recall 1.0
+    # both; at 20k x 250 the 5M-pair exact leg is too small to
+    # separate from per-stage overheads).
     n_knn = int(os.environ.get("BENCH_KNN_VECS", "100000"))
     kn = bench_knn_scale(spark, n_knn) if n_knn and not only_frontier else {}
 
