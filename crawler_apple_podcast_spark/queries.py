@@ -27,6 +27,7 @@ from .functions import text as T
 from .functions import urls as U
 from .functions.episodes import asset_paths
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
+from .operators import graph as G
 from .operators import multimodal as MM
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
@@ -849,6 +850,30 @@ def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH prune, exact confirm — oracle is the exact all-pairs
     computation (LSH recall at these parameters is total on this data)."""
     return S.minhash_dedup_pairs(_t(spark, sf, "documents"), "doc_id", "text", 3, 500)
+
+
+# Canonical-representative dedup needs graph connectivity over the
+# near-dup pairs (chains a~b~c collapse to one component).  Spark side
+# is iterative min-label propagation (operators/graph.py); the oracle
+# replays reachability with a recursive CTE over the exact pair graph.
+_CC_ORACLE = (
+    "WITH RECURSIVE pairs AS (" + _SHINGLE_CTE.format(thr=500) + "),"
+    " edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),"
+    " reach AS (SELECT src AS doc, src AS root FROM edges"
+    " UNION SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc)"
+    " SELECT doc AS doc_id, min(root) AS component FROM reach GROUP BY doc"
+)
+
+
+@q("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark, sf):
+    """Near-dup pairs (MinHash prune + exact confirm) -> connected
+    components -> (doc_id, component = min reachable doc_id).  The
+    canonical-representative grouping a corpus-level dedup actually
+    keys its keep/drop decision on."""
+    pairs = S.minhash_dedup_pairs(_t(spark, sf, "documents"), "doc_id", "text", 3, 500)
+    return G.dedup_components(pairs)
 
 
 def _simhash_oracle(bits: int = 64, chunks: int = 4, max_hamming: int = 3) -> str:
