@@ -1183,8 +1183,11 @@ def text_fingerprint(spark, sf):
 # accounting.  Every stage is a §2.9 operator; the oracle replays the
 # chain with the EXACT all-pairs Jaccard in place of the MinHash prune
 # (prune-only + exact confirm, so the outputs agree).
-_CORPUS_PREP_ORACLE = (
-    "WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+# Shared CTE chain through the near-dup pair graph; the two finals
+# below differ only in the drop rule (pairwise doc_b vs component
+# non-representatives).
+_CORPUS_PREP_BASE = (
+    "t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
     " FROM documents),"
     " c AS (SELECT doc_id, text, tk,"
     f" (len(list_filter(tk, x -> x IN {{stop}}))*1000)//len(tk) AS stop_m,"
@@ -1201,23 +1204,53 @@ _CORPUS_PREP_ORACLE = (
     " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),"
     " pairs AS (SELECT doc_a, doc_b FROM inter"
     " JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
-    " WHERE (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) >= {jthr}),"
-    " final AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs))"
+    " WHERE (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) >= {jthr})"
+)
+
+_CORPUS_PREP_SELECT = (
     " SELECT doc_id, quality_milli, len(tk)::BIGINT AS n_tokens,"
     " len(regexp_extract_all(text, '[A-Za-z0-9'']+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe"
     " FROM final"
+)
+
+_CORPUS_PREP_ORACLE = (
+    "WITH "
+    + _CORPUS_PREP_BASE
+    + ", final AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs))"
+    + _CORPUS_PREP_SELECT
+).format(stop=_STOP_SQL, qthr=600, jthr=500)
+
+_CORPUS_PREP_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _CORPUS_PREP_BASE
+    + ", edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),"
+    " reach AS (SELECT src AS doc, src AS root FROM edges"
+    " UNION SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc),"
+    " comp AS (SELECT doc, min(root) AS component FROM reach GROUP BY doc),"
+    " final AS (SELECT * FROM kept2 WHERE doc_id NOT IN"
+    " (SELECT doc FROM comp WHERE doc <> component))"
+    + _CORPUS_PREP_SELECT
 ).format(stop=_STOP_SQL, qthr=600, jthr=500)
 
 
 def corpus_prep_frame(
-    d: DataFrame, quality_threshold: int = 600, jaccard_threshold_milli: int = 500
+    d: DataFrame,
+    quality_threshold: int = 600,
+    jaccard_threshold_milli: int = 500,
+    dedup: str = "pairs",
 ) -> DataFrame:
     """End-to-end training-corpus prep over a ``documents``-shaped frame
     as one plan: language gate (stopword-ratio lang-id) -> quality gate
     (integer per-mille score) -> exact dedup (keep min doc_id per md5)
-    -> MinHash-LSH near-dup removal (drop the greater doc of every
-    confirmed pair; prune-only + exact confirm, so the result equals
-    the oracle's exact-Jaccard replay) -> per-doc token accounting.
+    -> MinHash-LSH near-dup removal -> per-doc token accounting.
+
+    ``dedup``: drop rule over the confirmed near-dup pairs.  "pairs"
+    drops the greater doc of every pair (cheap, may over-drop on
+    chains); "components" keeps exactly the min doc_id of each
+    connected component (canonical-representative policy,
+    operators/graph.py).  Both are prune-only + exact confirm, so each
+    equals its oracle's exact-Jaccard replay.
 
     Scale shape: gates and scoring are pure JVM column exprs on the
     scan; exact dedup is one window over md5 partitions; the only
@@ -1266,7 +1299,11 @@ def corpus_prep_frame(
     pairs = S.minhash_dedup_pairs(
         kept, "doc_id", "text", 3, jaccard_threshold_milli
     )
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if dedup == "components":
+        comp = G.dedup_components(pairs)
+        drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    else:
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     out = kept.join(drop, "doc_id", "left_anti")
     return out.select("doc_id", "quality_milli", "n_tokens", "n_bpe")
 
@@ -1275,6 +1312,13 @@ def corpus_prep_frame(
 def corpus_prep_pipeline(spark, sf):
     """The composite corpus-prep chain (see ``corpus_prep_frame``)."""
     return corpus_prep_frame(_t(spark, sf, "documents"))
+
+
+@q("corpus_prep_cc", _CORPUS_PREP_CC_ORACLE)
+def corpus_prep_cc(spark, sf):
+    """Corpus prep with the component-canonical drop rule: exactly one
+    survivor (min doc_id) per near-dup connected component."""
+    return corpus_prep_frame(_t(spark, sf, "documents"), dedup="components")
 
 
 @q(

@@ -35,6 +35,36 @@ def test_corpus_prep_gates_and_dedup(spark):
     assert by_id[4].n_bpe >= by_id[4].n_tokens
 
 
+def test_corpus_prep_pairwise_vs_components_on_bridge(spark):
+    """Doc 3 bridges docs 1 and 2 (near-dup of both; 1 !~ 2): the
+    pairwise rule only drops doc_b's ({3}), keeping both 1 and 2; the
+    component rule keeps exactly the component min ({1})."""
+    from crawler_apple_podcast_spark.queries import corpus_prep_frame as prep
+
+    # base doc 3; docs 1 and 2 each edit ONE (different) token: j(1,3)
+    # = j(2,3) ~ 0.85 (above threshold, inside the LSH recall band),
+    # j(1,2) ~ 0.73 (below the 0.8 threshold).  All-alpha fillers keep
+    # the quality gate's alpha-density component high.
+    t3 = ["the", "and", "it"] + [
+        f"w{chr(97 + i)}{chr(97 + (i * 7) % 26)}ord" for i in range(37)
+    ]
+    t1 = list(t3)
+    t1[10] = "alphaword"
+    t2 = list(t3)
+    t2[30] = "omegaword"
+    df = spark.createDataFrame(
+        [(1, " ".join(t1)), (2, " ".join(t2)), (3, " ".join(t3))],
+        "doc_id INT, text STRING",
+    )
+    kept_pairs = {r.doc_id for r in prep(df, jaccard_threshold_milli=800).collect()}
+    kept_cc = {
+        r.doc_id
+        for r in prep(df, jaccard_threshold_milli=800, dedup="components").collect()
+    }
+    assert kept_pairs == {1, 2}
+    assert kept_cc == {1}
+
+
 def test_corpus_prep_near_dup_direction(spark):
     # swap ids 1<->3: the near-dup pair's LOWER id survives, whichever
     # text it carries.
