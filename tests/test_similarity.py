@@ -382,6 +382,27 @@ def test_knn_join_lsh_recall_on_planted_neighbors(spark):
     assert hits >= 36  # >= 90% planted-neighbor recall
 
 
+def test_knn_join_lsh_wide_multiprobe_codegen(spark):
+    """Regression: 16 rows/band x 2-bit probes = 137 masks/band used to
+    blow whole-stage codegen past the JVM method limit when probes were
+    array-literal expressions; the broadcast mask-table join must
+    handle the wide config and still find the planted neighbor."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float64")
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((1000 + i, [float(x) for x in base[i] + 0.01 * rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    qs = df.where(F.col("vec_id") < 20)
+    got = S.knn_join_lsh(qs, df, k=1, bands=4, rows_per_band=16,
+                         probe_bits=2, exclude_self=True, dim=16)
+    top1 = {r.query_id: r.neighbor_id for r in got.collect()}
+    hits = sum(1 for i in range(20) if top1.get(i) == 1000 + i)
+    assert hits >= 18
+
+
 def test_knn_join_ivf_recall_on_planted_neighbors(spark):
     """IVF cell assignment puts a near-copy (cosine ~0.99) in the same
     coarse cell as its source with overwhelming probability; top-1 via
