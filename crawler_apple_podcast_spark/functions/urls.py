@@ -22,7 +22,7 @@ API_BASE = "https://amp-api.podcasts.apple.com"
 
 
 def host_of(url: Column) -> Column:
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def strip_query(url: Column) -> Column:
@@ -42,15 +42,15 @@ def api_user_id(url: Column) -> Column:
 
 def normalize_fetch_url(url: Column) -> Column:
     """The URL a frontier entry actually requests (serde.normalize_fetch_url)."""
-    lang = F.coalesce(F.parse_url(url, F.lit("QUERY"), F.lit("l")), F.lit("en-US"))
-    offset = F.coalesce(F.parse_url(url, F.lit("QUERY"), F.lit("offset")), F.lit("10"))
+    lang = F.coalesce(F.try_parse_url(url, F.lit("QUERY"), F.lit("l")), F.lit("en-US"))
+    offset = F.coalesce(F.try_parse_url(url, F.lit("QUERY"), F.lit("offset")), F.lit("10"))
     return F.concat(strip_query(url), F.lit("?l="), lang, F.lit("&offset="), offset)
 
 
 def offset_of(url: Column) -> Column:
     """Ordering-parity key component (O1): the ``offset`` query param."""
     return F.coalesce(
-        F.parse_url(url, F.lit("QUERY"), F.lit("offset")).try_cast("int"),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("offset")).try_cast("int"),
         F.lit(-1),
     )
 
@@ -84,10 +84,18 @@ def canonicalize_url(url: Column) -> Column:
     other ports are distinct origins and must survive), sort query
     params, drop trailing ``?``.
 
-    ``parse_url(url, 'HOST')`` returns the host WITHOUT the port, so
-    the port is extracted separately from the authority.
+    ``try_parse_url(url, 'HOST')`` returns the host WITHOUT the port,
+    so the port is extracted separately from the authority.
+
+    Malformed URLs (``try_parse_url`` -> NULL: bad percent-escapes
+    etc. — a 10^10-URL web frontier always contains some) pass through
+    UNCHANGED: the throwing ``parse_url`` would kill the whole job on
+    one bad row (found by the idempotence property test), and mapping
+    them all to a shared fallback key would wrongly dedupe every
+    malformed URL into one.  Unchanged junk stays a distinct key and
+    is idempotent by construction.
     """
-    proto = F.lower(F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit("http")))
+    proto = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PROTOCOL")), F.lit("http")))
     host = F.coalesce(host_of(url), F.lit(""))
     auth = F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1)
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
@@ -100,10 +108,10 @@ def canonicalize_url(url: Column) -> Column:
             F.lit("")
         ),
     )
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
-    query = F.parse_url(url, F.lit("QUERY"))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(url, F.lit("QUERY"))
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
+    canon = F.concat(
         proto,
         F.lit("://"),
         hostport,
@@ -112,6 +120,10 @@ def canonicalize_url(url: Column) -> Column:
             query.isNotNull() & (F.length(query) > 0), F.concat(F.lit("?"), sorted_query)
         ).otherwise(F.lit("")),
     )
+    # `host` is the already-coalesced lower(HOST): empty iff the URL
+    # failed to parse (or genuinely has no authority) — reuse it so
+    # the fallback branch costs no extra parse.
+    return F.when(host == "", url).otherwise(canon)
 
 
 def url_hash(url: Column, seed: int | None = None) -> Column:

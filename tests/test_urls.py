@@ -111,3 +111,32 @@ def test_url_hash_deterministic_and_seeded(spark):
     assert h0 == _col(spark, urls, U.url_hash)
     assert h0 != h1
     assert len(set(h0)) == 2
+
+
+# ------------------------------------------------ property: idempotence
+
+from hypothesis import given, settings, strategies as st
+
+_scheme = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"])
+_host = st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,10}(\.[A-Za-z]{2,5}){1,2}", fullmatch=True)
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":65535"])
+_path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,3}", fullmatch=True)
+_query = st.sampled_from(["", "?b=2&a=1", "?z=", "?a=1&a=2", "?x", "?c=3&b=2&a=1"])
+_frag = st.sampled_from(["", "#f", "#", "#Frag-1"])
+_url_s = st.builds(
+    lambda s, h, po, pa, q, f: f"{s}://{h}{po}{pa}{q}{f}",
+    _scheme, _host, _port, _path, _query, _frag,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_url_s, min_size=1, max_size=40))
+def test_canonicalize_idempotent_property(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for messy URL
+    shapes — the seen-set invariant: a re-discovered already-canonical
+    URL must map to itself or the dedupe anti-join silently misses."""
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    c = df.select(U.canonicalize_url(F.col("url")).alias("c1"))
+    cc = c.select("c1", U.canonicalize_url(F.col("c1")).alias("c2"))
+    bad = cc.where(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad
