@@ -146,3 +146,36 @@ def test_hash_confirm_keeps_null_keys(spark):
         urls = [r.url for r in got]
         assert urls.count(None) == 2, mode  # both NULL candidates kept
         assert len(urls) == 22, mode        # 20 new + 2 NULL
+
+
+# ------------------------------------------------ property: arbitrary keys
+
+from hypothesis import given, settings, strategies as st
+
+_key = st.one_of(st.none(), st.text(min_size=0, max_size=12))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_key, min_size=1, max_size=25),
+    st.lists(_key, min_size=1, max_size=25),
+)
+def test_bloom_gate_equals_exact_on_arbitrary_keys(spark, cand, seen):
+    """Random unicode / empty / NULL keys, both confirm modes: the
+    Bloom gate is a pure pre-filter — output multiset must equal the
+    plain exact anti-join, whatever the keys look like."""
+    cdf = spark.createDataFrame([(k,) for k in cand], "url STRING")
+    sdf = spark.createDataFrame([(k,) for k in seen], "url STRING")
+    # SQL NULL never matches in an anti-join, so NULL candidates are
+    # already present in the exact anti-join's output.
+    want = sorted(
+        r.url or "" for r in cdf.join(sdf, "url", "left_anti").collect()
+    )
+    bloom = build_bloom_shards(sdf.where(F.col("url").isNotNull()),
+                               n_shards=2, m_bits=1 << 8, k=3)
+    for mode in ("keys", "hashes"):
+        got = sorted(
+            (r.url or "")
+            for r in bloom_gated_anti_join(cdf, sdf, bloom, confirm_on=mode).collect()
+        )
+        assert got == want, (mode, got, want)
