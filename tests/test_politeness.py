@@ -172,3 +172,50 @@ def test_crawl_with_rate_pacing_reaches_same_episode_set(spark, corpus):
     b = paced.episodes.orderBy("seed_index", "offset", "pos").drop("wave").collect()
     assert a == b
     assert paced.n_waves >= base.n_waves
+
+
+# ------------------------------------------------ property: gate invariants
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators.politeness import politeness_gate
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2)), min_size=1, max_size=40
+    ),
+    st.lists(st.integers(0, 4), min_size=4, max_size=4),
+)
+def test_gate_invariants_property(spark, spec, budget_vals):
+    """Random skewed frontiers x random per-host budgets: the gate must
+    (1) schedule at most budget rows per host, (2) partition the input
+    exactly (scheduled + deferred == input), (3) admit priority-first —
+    per host, the scheduled priorities are the smallest-k of that
+    host's priorities."""
+    rows = [
+        (f"https://h{h}.example/p/{i}", p) for i, (h, p) in enumerate(spec)
+    ]
+    f = spark.createDataFrame(rows, "fetch_url STRING, priority INT")
+    budgets = spark.createDataFrame(
+        [(f"h{h}.example", b) for h, b in enumerate(budget_vals)],
+        "host STRING, budget INT",
+    )
+    sched, defer = politeness_gate(f, budgets, default_budget=1)
+    s = [(r.fetch_url, r.priority) for r in sched.collect()]
+    d = [(r.fetch_url, r.priority) for r in defer.collect()]
+    assert sorted(s + d) == sorted(rows)  # (2) exact partition
+    by_host_in: dict[str, list[int]] = {}
+    for u, p in rows:
+        by_host_in.setdefault(u.split("/")[2], []).append(p)
+    by_host_s: dict[str, list[int]] = {}
+    for u, p in s:
+        by_host_s.setdefault(u.split("/")[2], []).append(p)
+    for h, b in ((f"h{i}.example", v) for i, v in enumerate(budget_vals)):
+        got = sorted(by_host_s.get(h, []))
+        allp = sorted(by_host_in.get(h, []))
+        k = min(b, len(allp))
+        assert len(got) == k  # (1) exactly budget (or all pending)
+        assert got == allp[:k]  # (3) priority-first
