@@ -209,10 +209,21 @@ def minhash_signatures_map_only(
     then each family is ``array_min(transform(_gh, h -> xxhash64(h, i)))``
     — the same family derivation as ``minhash_signatures_from_hashes``
     (min over ``xxhash64(occurrence_hash, i)``), so the signatures are
-    byte-identical, but computed as a narrow map over one row per doc
-    instead of explode -> shuffle -> groupBy-min.  At 100 TB this is
-    embarrassingly parallel; the only shuffle in the whole MinHash path
-    becomes the LSH band bucket join.
+    byte-identical (``test_similarity`` asserts this), but computed as
+    a narrow map over one row per doc instead of
+    explode -> shuffle -> groupBy-min.
+
+    Trade-off vs the explode path (``shingle_hashes`` ->
+    ``minhash_signatures_from_hashes``): this variant moves zero bytes
+    but evaluates its higher-order lambdas INTERPRETED — Spark does
+    not whole-stage-codegen ``transform``/``zip_with`` bodies — while
+    the explode path keeps every hash inside codegen and its
+    groupBy-min shuffle carries only one 37-column row per (doc,
+    partition) after map-side combine.  Measured at sf0.1 the explode
+    path is ~1.5x faster (0.69 s vs 1.02 s), which is why
+    ``minhash_dedup_pairs`` uses it; this map-only form is the right
+    plan only when shuffle capacity, not CPU, is the binding
+    constraint (e.g. a heavily over-subscribed shuffle service).
 
     Docs with fewer than ``n`` tokens have no shingles and are dropped
     (as the explode path drops them) — otherwise their all-NULL
@@ -284,10 +295,16 @@ def minhash_dedup_pairs(
     magnitude more than needed.
 
     Scale shape: the full corpus is touched only by the signature scan
-    — a ZERO-shuffle narrow map (minhash_signatures_map_only); the
-    exact shingle-set materialization (string distinct) happens ONLY
-    for the docs that appear in some LSH candidate pair — at 100 TB
-    that is the near-dup fraction, not the corpus."""
+    — per-occurrence gram hashes (fixed-width longs, never n-gram
+    strings) exploded into a groupBy-min whose map-side combine leaves
+    one 37-column row per (doc, partition) on the shuffle, with every
+    hash inside whole-stage codegen.  (The zero-shuffle
+    ``minhash_signatures_map_only`` twin produces byte-identical
+    signatures but evaluates its lambdas interpreted — measured ~1.5x
+    slower; see its docstring for when to prefer it.)  The exact
+    shingle-set materialization (string distinct) happens ONLY for the
+    docs that appear in some LSH candidate pair — at 100 TB that is
+    the near-dup fraction, not the corpus."""
     # Persist + eager-count the two frames that are read twice (the
     # banding self-join reads sig per side; cands feeds both the
     # candidate-doc semi-join and the confirm join) — unpersisted they
@@ -297,7 +314,9 @@ def minhash_dedup_pairs(
     # every consumer materializes exactly once anyway, and an eager
     # persist+count here would pay the confirm path twice.
     reg = _sim_cache if cache_registry is None else cache_registry
-    sig = minhash_signatures_map_only(df, id_col, text_col, n, n_hashes).persist()
+    sig = minhash_signatures_from_hashes(
+        shingle_hashes(df, id_col, text_col, n), n_hashes
+    ).persist()
     sig.count()
     cands = lsh_candidate_pairs(sig, bands, rows_per_band).persist()
     reg.append(cands)

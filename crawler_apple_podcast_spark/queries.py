@@ -1254,10 +1254,10 @@ def corpus_prep_frame(
 
     Scale shape: gates and scoring are pure JVM column exprs on the
     scan; exact dedup is one window over md5 partitions; the only
-    corpus-wide shuffles are that window and the LSH band join (the
-    signature scan is a zero-shuffle narrow map over the gated
-    subset — at 100 TB the near-dup stage only ever touches docs that
-    survive the cheap gates)."""
+    corpus-wide shuffles are that window, the LSH band join, and the
+    signature groupBy-min (map-side combined to one row per doc per
+    partition, all hashes codegen'd) — at 100 TB the near-dup stage
+    only ever touches docs that survive the cheap gates."""
     # Tokenize ONCE in a dedicated projection (the lambda re-eval trap:
     # Catalyst does not CSE across higher-order functions, so deriving
     # every stat straight from `text` re-splits the document per
