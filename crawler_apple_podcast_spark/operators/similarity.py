@@ -543,6 +543,21 @@ def _quantized(vec_col: str) -> F.Column:
 
 
 def _qdot(a, b) -> F.Column:
+    """Dot product of two array<double> columns as a sequential fold.
+
+    Negative result, kept so it isn't re-attempted: expanding this to
+    a fixed-width sum of 64 ``element_at(a,i) * element_at(b,i)``
+    terms — ordinary codegen-able expressions instead of interpreted
+    HOF lambdas — measured ~2.4x SLOWER on the k-NN confirm join
+    (fresh-JVM alternating A/B at 50k x 250: fold best 4.9 s vs
+    expansion best 11.9 s) and ~6x slower on the brute-force cross
+    join.  The 128-``element_at`` tree bloats the generated stage past
+    useful JIT while the fold's single array traversal stays cache-
+    friendly; per-pair cost here is dominated by materializing the two
+    64-double arrays into the join row, not by lambda dispatch.  (The
+    same interpreted-HOF argument DOES win for MinHash signatures,
+    where the explode path replaces 36 array passes per doc — see
+    minhash_signatures_map_only.)"""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
