@@ -29,6 +29,7 @@ from .functions.episodes import asset_paths
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
 from .operators import graph as G
 from .operators import multimodal as MM
+from .operators import sampling as SAMP
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
 from .plans.ledger import build_download_ledger
@@ -1176,6 +1177,36 @@ def text_stats(spark, sf):
 def text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# Deterministic mixture shaping (operators/sampling.py): keep 900/1000
+# of 'en' docs and 150/1000 of 'other', decided purely by
+# md5(doc_id) — replayable bit-for-bit in the oracle, stable under
+# repartitioning and corpus growth.
+@q(
+    "corpus_sample_stratified",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " s AS (SELECT doc_id,"
+    f" CASE WHEN (len(list_filter(tk, x -> x IN {_STOP_SQL}))*1000)//len(tk) >= 30"
+    " THEN 'en' ELSE 'other' END AS lang,"
+    " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 AS bucket"
+    " FROM t)"
+    " SELECT doc_id, lang, bucket FROM s"
+    " WHERE bucket < CASE lang WHEN 'en' THEN 900 WHEN 'other' THEN 150 ELSE 0 END",
+)
+def corpus_sample_stratified(spark, sf):
+    """Stratified corpus sampling: per-language keep rates over a
+    hash-bucket decision that any engine can replay (no RNG, no
+    partition dependence) — the mixture-shaping op of a training-data
+    pipeline."""
+    d = _t(spark, sf, "documents")
+    out = SAMP.sample_stratified(
+        d, T.lang_id(F.col("text")), "doc_id", {"en": 900, "other": 150}
+    )
+    return out.select(
+        "doc_id", F.col("_stratum").alias("lang"), F.col("_bucket").alias("bucket")
+    )
 
 
 # The composite an LLM-data pipeline actually runs as ONE job: language
