@@ -1179,6 +1179,58 @@ def text_fingerprint(spark, sf):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+# Corpus distribution profile: per-language doc counts, token totals,
+# extremes, and the EXACT lower median of per-doc token counts.  The
+# median deliberately avoids a per-language global sort (a handful of
+# language partitions would each swallow a corpus-scale sort — maximal
+# skew): instead groupBy (lang, n_tokens) builds a tiny histogram (one
+# row per distinct length), a cumulative window runs over THAT, and
+# the median is the first length whose cumulative count reaches
+# ceil(n/2).  Exact, two small shuffles, no corpus-wide ordering.
+@q(
+    "corpus_profile",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " d AS (SELECT doc_id,"
+    f" CASE WHEN (len(list_filter(tk, x -> x IN {_STOP_SQL}))*1000)//len(tk) >= 30"
+    " THEN 'en' ELSE 'other' END AS lang, len(tk)::BIGINT AS n_tokens FROM t),"
+    " tot AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,"
+    " min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens FROM d GROUP BY lang),"
+    " hist AS (SELECT lang, n_tokens, count(*) AS c FROM d GROUP BY lang, n_tokens),"
+    " cum AS (SELECT lang, n_tokens, sum(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cc"
+    " FROM hist),"
+    " med AS (SELECT cum.lang, min(cum.n_tokens) AS median_tokens FROM cum JOIN tot"
+    " ON cum.lang = tot.lang WHERE cum.cc >= (tot.n_docs + 1) // 2 GROUP BY cum.lang)"
+    " SELECT tot.lang, n_docs, total_tokens, min_tokens, max_tokens, median_tokens"
+    " FROM tot JOIN med ON tot.lang = med.lang",
+)
+def corpus_profile(spark, sf):
+    """Per-language corpus stats with an exact histogram-based median
+    (never a per-language corpus sort — see comment above)."""
+    d = _t(spark, sf, "documents").select(
+        T.lang_id(F.col("text")).alias("lang"),
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    tot = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    hist = d.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_tokens")
+    cum = hist.withColumn("cc", F.sum("c").over(w))
+    med = (
+        cum.join(tot.select("lang", "n_docs"), "lang")
+        .where(F.col("cc") >= idiv(F.col("n_docs") + 1, F.lit(2)))
+        .groupBy("lang")
+        .agg(F.min("n_tokens").alias("median_tokens"))
+    )
+    return tot.join(med, "lang").select(
+        "lang", "n_docs", "total_tokens", "min_tokens", "max_tokens", "median_tokens"
+    )
+
+
 # Deterministic mixture shaping (operators/sampling.py): keep 900/1000
 # of 'en' docs and 150/1000 of 'other', decided purely by
 # md5(doc_id) — replayable bit-for-bit in the oracle, stable under

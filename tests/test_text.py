@@ -63,3 +63,30 @@ def test_quality_score_range_and_determinism(spark, docs):
     b = [r.q for r in docs.select(T.quality_score_milli(F.col("text")).alias("q")).collect()]
     assert a == b
     assert all(0 <= q <= 1000 for q in a)
+
+
+def test_corpus_profile_median_rule(spark, tmp_path):
+    """corpus_profile's histogram median equals the lower median
+    (value at position ceil(n/2) in sorted order), checked on a
+    hand-computable corpus with ties and both parities."""
+    import statistics
+
+    from crawler_apple_podcast_spark import queries as Q
+
+    # 'the of and to in' repeated -> all-stopword docs => lang 'en';
+    # token counts: en [2,2,4,6] (even, lower median 2), other [1,3,5] (odd, 3)
+    rows = [
+        (1, "the of"), (2, "the of"), (3, "the of and to"), (4, "the of and to in is"),
+        (5, "x"), (6, "x y z"), (7, "x y z w v"),
+    ]
+    spark.createDataFrame(rows, "doc_id INT, text STRING").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.lang: (r.n_docs, r.median_tokens)
+        for r in Q.queries()["corpus_profile"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"en": (4, 2), "other": (3, 3)}
+    # cross-check the rule itself: statistics.median_low on each stratum
+    assert statistics.median_low([2, 2, 4, 6]) == 2
+    assert statistics.median_low([1, 3, 5]) == 3
