@@ -94,3 +94,42 @@ def test_bucket_matches_duckdb(spark):
             f"SELECT CAST('0x' || substr(md5('{k}'), 1, 6) AS BIGINT) % 1000"
         ).fetchone()
         assert spark_rows[k] == dk
+
+
+# --------------------------------------- property: sampling invariants
+
+from hypothesis import given, settings, strategies as st
+
+_KEYS = st.text(min_size=0, max_size=12)
+_STRATA = st.sampled_from(["en", "other", "xx", None])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(_KEYS, _STRATA), min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    st.integers(0, 1000),
+    st.integers(0, 1000),
+)
+def test_sampling_invariants_property(spark, rows, r_lo, r_hi):
+    """Arbitrary unicode keys x arbitrary rates: (1) output is a subset
+    of the input, (2) decisions are per-key deterministic across
+    repartitionings, (3) raising a rate only adds rows, (4) every kept
+    row's bucket is under its stratum's rate."""
+    lo, hi = min(r_lo, r_hi), max(r_lo, r_hi)
+    df = spark.createDataFrame(rows, "k STRING, lang STRING")
+    kept_lo = {
+        r.k
+        for r in SAMP.sample_stratified(df, "lang", "k", {"en": lo, "other": lo}, lo).collect()
+    }
+    out_hi = SAMP.sample_stratified(
+        df.repartition(5), "lang", "k", {"en": hi, "other": hi}, hi
+    ).collect()
+    kept_hi = {r.k for r in out_hi}
+    in_keys = {k for k, _ in rows}
+    assert kept_lo <= kept_hi <= in_keys  # (1)+(3)
+    rerun = {
+        r.k
+        for r in SAMP.sample_stratified(df.coalesce(1), "lang", "k", {"en": hi, "other": hi}, hi).collect()
+    }
+    assert rerun == kept_hi  # (2)
+    assert all(r._bucket < hi for r in out_hi)  # (4): all strata share rate hi
