@@ -1404,6 +1404,40 @@ def corpus_prep_cc(spark, sf):
     return corpus_prep_frame(_t(spark, sf, "documents"), dedup="components")
 
 
+# Corpus prep chained into mixture shaping (T15 -> T18): after gates,
+# exact dedup and near-dup removal, keep every high-quality survivor
+# (quality >= 700) but only 400/1000 of the rest, decided by the
+# deterministic md5 bucket.  The oracle extends the corpus-prep replay
+# with the same bucket arithmetic — the full five-stage composite is
+# still one exactly-replayable plan.
+_CORPUS_PREP_SAMPLED_ORACLE = (
+    "WITH "
+    + _CORPUS_PREP_BASE
+    + ", final AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),"
+    " scored AS (SELECT doc_id, quality_milli, len(tk)::BIGINT AS n_tokens,"
+    " len(regexp_extract_all(text, '[A-Za-z0-9'']+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe,"
+    " CASE WHEN quality_milli >= 700 THEN 'hi' ELSE 'lo' END AS band,"
+    " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000 AS bucket"
+    " FROM final)"
+    " SELECT doc_id, quality_milli, n_tokens, n_bpe, band, bucket FROM scored"
+    " WHERE bucket < CASE band WHEN 'hi' THEN 1000 ELSE 400 END"
+).format(stop=_STOP_SQL, qthr=600, jthr=500)
+
+
+@q("corpus_prep_sampled", _CORPUS_PREP_SAMPLED_ORACLE)
+def corpus_prep_sampled(spark, sf):
+    """Corpus prep chained into deterministic quality-stratified
+    sampling — the end-to-end shape of a real mixture-shaped training
+    set build."""
+    prepped = corpus_prep_frame(_t(spark, sf, "documents"))
+    band = F.when(F.col("quality_milli") >= 700, F.lit("hi")).otherwise(F.lit("lo"))
+    out = SAMP.sample_stratified(prepped, band, "doc_id", {"hi": 1000, "lo": 400})
+    return out.select(
+        "doc_id", "quality_milli", "n_tokens", "n_bpe",
+        F.col("_stratum").alias("band"), F.col("_bucket").alias("bucket"),
+    )
+
+
 @q(
     "text_quality_score",
     "WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
