@@ -50,6 +50,14 @@ class StreamConfig:
     bloom_shards: int = 32
     bloom_threshold: int = 100_000  # build a Bloom gate only past this seen-set size
     rebuild_every: int = 16         # full seen re-read + Bloom rebuild cadence
+    # Optional SnapshotStore root: each micro-batch additionally commits
+    # (scheduled, deferred) through the batch pipeline's manifest/HEAD
+    # protocol, wave id = batch_id — streaming output then shares the
+    # atomic publish, lineage, and read_table view of the wave loop.
+    # Must be paired with a matching checkpoint_dir (batch ids are the
+    # wave numbering, and both restart from the same offsets); waves
+    # are contiguous because foreachBatch ids are.
+    snapshot_root: str | None = None
 
     def resolved_carry_dir(self) -> str:
         return self.carry_dir or f"{self.out_dir}_carry"
@@ -204,6 +212,35 @@ def process_candidate_batch(
     st.recent_parts.append(
         (batch_id, spark.read.parquet(f"{cfg.seen_dir}/batch_id={batch_id}"))
     )
+
+    # Optional snapshot commit: publish this batch as wave `batch_id`
+    # through the manifest/HEAD protocol.  Exactly-once under replay:
+    # Structured Streaming replays a batch with the SAME id, so
+    # - crash BEFORE HEAD moved -> batch_id > head -> recommit (the
+    #   data write is mode=overwrite, the orphan is replaced);
+    # - crash AFTER HEAD moved (offsets not yet committed) ->
+    #   batch_id <= head -> skip, nothing double-publishes.
+    # Frames are read back from the per-batch dirs just written, so the
+    # commit never re-executes the batch plan.
+    if cfg.snapshot_root:
+        from ..plans.snapshots import SnapshotStore
+
+        store = SnapshotStore(spark, cfg.snapshot_root)
+        head = store.last_committed_wave()
+        if head is None or batch_id > head:
+            sched_back = spark.read.parquet(f"{cfg.out_dir}/batch_id={batch_id}")
+            defer_back = spark.read.parquet(
+                f"{cfg.resolved_carry_dir()}/batch_id={batch_id}"
+            )
+            store.commit_wave(
+                int(batch_id),
+                {"scheduled": sched_back, "deferred": defer_back},
+                metrics={
+                    "batch_id": int(batch_id),
+                    "n_scheduled": sched_back.count(),
+                    "n_deferred": defer_back.count(),
+                },
+            )
 
     # Outputs are on disk — release this batch's cached intermediates
     # (rank cache + probed frame); a long-running stream must not

@@ -188,3 +188,69 @@ def test_carry_vs_fresh_priority_resolved_deterministically(spark, tmp_path):
     out = spark.read.parquet(f"{cfg.out_dir}/batch_id=1").collect()
     assert [(r.fetch_url, r.priority) for r in out] == [(url, 2)]
     reset_seen_state(cfg.seen_dir)
+
+
+def test_stream_snapshot_commits_share_batch_store_protocol(spark, tmp_path):
+    """With snapshot_root set, every micro-batch publishes through the
+    SnapshotStore manifest/HEAD protocol: one wave per batch,
+    read_table equals the per-batch output dirs, lineage carries the
+    batch metrics."""
+    from crawler_apple_podcast_spark.plans.snapshots import SnapshotStore
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    cfg.snapshot_root = f"{tmp}/snap"
+    _write_candidates(
+        spark, f"{tmp}/src", [(f"https://a.example/p/{i}", 0, TS) for i in range(8)]
+    )
+    run_frontier_stream(spark, f"{tmp}/src", cfg).awaitTermination(120)
+    _write_candidates(
+        spark, f"{tmp}/src", [(f"https://a.example/p/{i}", 0, TS) for i in range(8, 12)]
+    )
+    run_frontier_stream(spark, f"{tmp}/src", cfg).awaitTermination(120)
+
+    store = SnapshotStore(spark, cfg.snapshot_root)
+    head = store.last_committed_wave()
+    assert head is not None and head >= 1
+    committed = sorted(
+        r["fetch_url"] for r in store.read_table("scheduled").collect()
+    )
+    direct = sorted(r["fetch_url"] for r in spark.read.parquet(cfg.out_dir).collect())
+    assert committed == direct and len(committed) == 12
+    lin = store.lineage()
+    assert [m["metrics"]["batch_id"] for m in lin] == list(range(head + 1))
+    assert sum(m["metrics"]["n_scheduled"] for m in lin) == 12
+
+
+def test_stream_snapshot_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a batch whose commit already published (crash after
+    HEAD moved, offsets uncommitted) must not double-publish; replaying
+    one whose commit tore (data written, HEAD not moved) must land it."""
+    from crawler_apple_podcast_spark.plans.snapshots import SnapshotStore
+
+    tmp = str(tmp_path)
+    cfg = _cfg(tmp)
+    cfg.snapshot_root = f"{tmp}/snap"
+    batch = spark.createDataFrame(
+        [("https://a.example/p/1", 0, TS), ("https://a.example/p/2", 0, TS)],
+        CANDIDATE_SCHEMA,
+    )
+    process_candidate_batch(spark, batch, 0, cfg)
+    store = SnapshotStore(spark, cfg.snapshot_root)
+    assert store.last_committed_wave() == 0
+    ts0 = store.manifest(0)["ts"]
+
+    # replay after successful publish: skipped (manifest untouched)
+    reset_seen_state(cfg.seen_dir)
+    process_candidate_batch(spark, batch, 0, cfg)
+    assert store.last_committed_wave() == 0
+    assert store.manifest(0)["ts"] == ts0
+    assert store.read_table("scheduled").count() == 2
+
+    # torn commit: wind HEAD back (as if the crash hit before publish)
+    # and replay — the batch must recommit over its own orphan data
+    os.remove(f"{cfg.snapshot_root}/_manifests/HEAD.json")
+    reset_seen_state(cfg.seen_dir)
+    process_candidate_batch(spark, batch, 0, cfg)
+    assert store.last_committed_wave() == 0
+    assert store.read_table("scheduled").count() == 2
