@@ -173,3 +173,90 @@ def byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
     return media.select("media_id", "blob").mapInPandas(
         run, "media_id BIGINT, hist ARRAY<BIGINT>"
     )
+
+
+# ------------------------------------------------- WAV header decode (REAL)
+
+# Canonical 44-byte PCM WAV layout (RIFF + fmt chunk + data chunk
+# header).  This is the one audio format a pipeline can decode with no
+# codec library at all — the header is fixed-offset little-endian
+# integers — so unlike decode_media's honestly-stubbed codecs, this
+# decoder is REAL and runs as pure JVM byte arithmetic.
+WAV_HEADER_BYTES = 44
+
+
+def synth_wav(documents: DataFrame) -> DataFrame:
+    """Deterministic VALID PCM WAV blobs from the documents corpus:
+    sample rate / channels / length are closed-form functions of
+    doc_id (so an SQL oracle can predict every parsed field without
+    touching bytes), the header is built with struct.pack in an
+    Arrow-batched kernel, and the payload is zeros of the declared
+    data size."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 4) * 4000
+                channels = did % 2 + 1
+                bits = 16
+                n_samples = (did % 50 + 1) * 100
+                block = channels * bits // 8
+                data = n_samples * block
+                hdr = b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+                hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                             rate * block, block, bits)
+                hdr += b"data" + struct.pack("<I", data)
+                blobs.append(hdr + b"\x00" * data)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "blob": blobs})
+
+    return documents.select("doc_id").mapInPandas(run, "media_id BIGINT, blob BINARY")
+
+
+def _le_uint(blob, pos: int, width: int):
+    """Little-endian unsigned int read from a binary column at 1-based
+    ``pos``: per-byte hex -> int, positionally weighted.  Pure codegen
+    (substring/hex/conv) — no Python on the parse path."""
+    out = F.lit(0).cast("long")
+    for i in range(width):
+        byte = F.conv(F.hex(F.substring(blob, pos + i, 1)), 16, 10).cast("long")
+        out = out + byte * F.lit(256 ** i)
+    return out
+
+
+def parse_wav_header(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL WAV/RIFF header decode as JVM column expressions over the
+    binary blob (canonical 44-byte PCM layout; cf. the reference's
+    audio enclosures, /root/reference/handler/apple_podcast_api.py:137-182,
+    which it ships to disk/COS undecoded).  Non-WAV or truncated blobs
+    yield NULL fields — never a task failure — so the parser is safe
+    to run over a mixed media column.  duration_ms is exact integer
+    arithmetic: data_bytes * 1000 // byte_rate."""
+    blob = F.col(blob_col)
+    # Binary-literal comparison, NOT decode(): under ANSI mode decode
+    # raises on invalid UTF-8, and arbitrary (e.g. JPEG) bytes are
+    # exactly what this guard exists to reject gracefully.
+    magic_ok = (
+        (F.length(blob) >= WAV_HEADER_BYTES)
+        & (F.substring(blob, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(blob, 9, 4) == F.lit(b"WAVE"))
+        & (F.substring(blob, 13, 4) == F.lit(b"fmt "))
+        & (F.substring(blob, 37, 4) == F.lit(b"data"))
+    )
+    fields = {
+        "audio_format": _le_uint(blob, 21, 2),
+        "channels": _le_uint(blob, 23, 2),
+        "sample_rate": _le_uint(blob, 25, 4),
+        "byte_rate": _le_uint(blob, 29, 4),
+        "bits_per_sample": _le_uint(blob, 35, 2),
+        "data_bytes": _le_uint(blob, 41, 4),
+    }
+    from ..functions.text import idiv
+
+    fields["duration_ms"] = idiv(fields["data_bytes"] * F.lit(1000), fields["byte_rate"])
+    return media.select(
+        "media_id",
+        *[F.when(magic_ok, expr).alias(name) for name, expr in fields.items()],
+    )

@@ -1231,6 +1231,31 @@ def corpus_profile(spark, sf):
     )
 
 
+# REAL audio-header decode (no codec library needed for canonical PCM
+# WAV): synth_wav builds valid RIFF blobs whose parameters are
+# closed-form in doc_id, parse_wav_header reads them back with pure
+# JVM byte arithmetic, and the oracle predicts every field without
+# touching bytes — a full synth -> binary -> parse round trip.
+@q(
+    "mm_wav_header",
+    "SELECT doc_id AS media_id, 1::BIGINT AS audio_format,"
+    " (doc_id % 2 + 1)::BIGINT AS channels,"
+    " (8000 + (doc_id % 4) * 4000)::BIGINT AS sample_rate,"
+    " ((8000 + (doc_id % 4) * 4000) * ((doc_id % 2 + 1) * 2))::BIGINT AS byte_rate,"
+    " 16::BIGINT AS bits_per_sample,"
+    " (((doc_id % 50) + 1) * 100 * ((doc_id % 2 + 1) * 2))::BIGINT AS data_bytes,"
+    " ((((doc_id % 50) + 1) * 100 * ((doc_id % 2 + 1) * 2)) * 1000)"
+    " // ((8000 + (doc_id % 4) * 4000) * ((doc_id % 2 + 1) * 2)) AS duration_ms"
+    " FROM documents",
+)
+def mm_wav_header(spark, sf):
+    """WAV/RIFF header decode over binary blobs — the one REAL (not
+    stubbed) media decode: fixed-offset little-endian header fields
+    need no codec library."""
+    docs = _t(spark, sf, "documents")
+    return MM.parse_wav_header(MM.synth_wav(docs))
+
+
 # Deterministic mixture shaping (operators/sampling.py): keep 900/1000
 # of 'en' docs and 150/1000 of 'other', decided purely by
 # md5(doc_id) — replayable bit-for-bit in the oracle, stable under

@@ -113,3 +113,40 @@ def test_histogram_batch_shape_multi_partition(spark):
     got = MM.byte_histogram(m, bins=8).collect()
     assert len(got) == 20
     assert all(sum(r["hist"]) == r["media_id"] + 1 for r in got)
+
+
+# ------------------------------------------------- WAV header decode
+
+def test_wav_parse_agrees_with_stdlib_wave(spark):
+    """Independent referee: python's stdlib `wave` reads the blobs our
+    synthesizer writes; the JVM parser must agree field-for-field."""
+    import io
+    import wave
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 7, 53, 101)], "doc_id INT")
+    blobs = {r.media_id: bytes(r.blob) for r in MM.synth_wav(docs).collect()}
+    parsed = {
+        r.media_id: r.asDict() for r in MM.parse_wav_header(MM.synth_wav(docs)).collect()
+    }
+    for mid, blob in blobs.items():
+        with wave.open(io.BytesIO(blob)) as w:
+            p = parsed[mid]
+            assert p["channels"] == w.getnchannels()
+            assert p["sample_rate"] == w.getframerate()
+            assert p["bits_per_sample"] == w.getsampwidth() * 8
+            assert p["data_bytes"] == w.getnframes() * w.getnchannels() * w.getsampwidth()
+            assert p["duration_ms"] == (
+                p["data_bytes"] * 1000 // (w.getframerate() * w.getnchannels() * w.getsampwidth())
+            )
+
+
+def test_wav_parse_rejects_non_wav_blobs(spark):
+    """Truncated or non-RIFF blobs parse to NULL fields, never errors."""
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"\x00" * 60),  # JPEG magic, long enough
+        (2, b"RIFF"),                              # truncated
+        (3, b""),                                  # empty
+    ]
+    df = spark.createDataFrame(rows, "media_id INT, blob BINARY")
+    out = {r.media_id: r.sample_rate for r in MM.parse_wav_header(df).collect()}
+    assert out == {1: None, 2: None, 3: None}
