@@ -22,6 +22,9 @@ SUBSET = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_fingerprint",
+    "corpus_sample_stratified",
+    "corpus_profile",
+    "mm_wav_header",
 ]
 
 
