@@ -91,3 +91,29 @@ def fingerprint(text: Column) -> Column:
     )
     total = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.pmod(total, F.lit(FINGERPRINT_MOD))
+
+
+# ----------------------------------------------------- PII scrubbing
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repetition, no
+# backreferences or lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text`` — count before scrubbing
+    so redaction audits can reconcile totals."""
+    n_e = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    n_p = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).cast("long")
+    return n_e, n_p
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders — the
+    standard pre-training scrub, as a pure JVM expression (the 100 TB
+    path is one regexp pass per pattern inside codegen, no Python)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )

@@ -27,6 +27,7 @@ from .functions import text as T
 from .functions import urls as U
 from .functions.episodes import asset_paths
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
+from .operators import decontaminate as DC
 from .operators import graph as G
 from .operators import multimodal as MM
 from .operators import sampling as SAMP
@@ -1229,6 +1230,82 @@ def corpus_profile(spark, sf):
     return tot.join(med, "lang").select(
         "lang", "n_docs", "total_tokens", "min_tokens", "max_tokens", "median_tokens"
     )
+
+
+# PII scrubbing (functions/text.py): synthetic emails/phones are
+# injected closed-form from doc_id on BOTH sides (the corpus itself
+# carries none), then counted and redacted; patterns are chosen to
+# mean the same thing in Java regex and RE2, so the scrubbed string
+# itself is part of the oracle comparison.
+@q(
+    "text_pii_scrub",
+    "WITH t AS (SELECT doc_id, text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-0199' ELSE '' END AS text FROM documents)"
+    " SELECT doc_id,"
+    " len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,"
+    " len(regexp_extract_all(text, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,"
+    " regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed"
+    " FROM t",
+)
+def text_pii_scrub(spark, sf):
+    """PII redaction audit: per-doc email/phone counts plus the
+    scrubbed text, compared byte-for-byte against the oracle."""
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-0199")),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", injected.alias("text"))
+    n_e, n_p = T.pii_counts(F.col("text"))
+    return t.select(
+        "doc_id",
+        n_e.alias("n_emails"),
+        n_p.alias("n_phones"),
+        T.scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
+# Eval-set decontamination (operators/decontaminate.py): drop every
+# training doc sharing >= 1 distinct 5-gram with the eval corpus (a
+# deterministic doc_id % 37 slice of documents — eval docs therefore
+# remove themselves, and docs under 5 tokens have no grams and
+# survive).  The entry runs the byte-exact string mode so the oracle
+# replays it literally; the xxhash64 scale mode is pytest-asserted
+# equal to it.
+@q(
+    "corpus_decontaminate",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 4),"
+    " i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))"
+    " AS shingle FROM t WHERE len(tk) >= 5),"
+    " ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),"
+    " bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle))"
+    " SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)",
+)
+def corpus_decontaminate(spark, sf):
+    """Benchmark decontamination: training corpus minus every doc that
+    shares an n-gram with the eval slice."""
+    docs = _t(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    return DC.decontaminate(
+        docs, ev, "doc_id", "text", n=5, min_hits=1, use_hashes=False
+    ).select("doc_id")
 
 
 # REAL audio-header decode (no codec library needed for canonical PCM

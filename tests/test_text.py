@@ -90,3 +90,27 @@ def test_corpus_profile_median_rule(spark, tmp_path):
     # cross-check the rule itself: statistics.median_low on each stratum
     assert statistics.median_low([2, 2, 4, 6]) == 2
     assert statistics.median_low([1, 3, 5]) == 3
+
+
+def test_pii_scrub_golden_and_idempotent(spark):
+    rows = [
+        (1, "mail a.b+c@test.org or x@y.io, call +1-555-123-4567 ok"),
+        (2, "no pii here"),
+        (3, "+1-555-000-9999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    n_e, n_p = T.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: (r.e, r.p, r.s)
+        for r in df.select(
+            "doc_id", n_e.alias("e"), n_p.alias("p"), T.scrub_pii(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1] == (2, 1, "mail <EMAIL> or <EMAIL>, call <PHONE> ok")
+    assert out[2] == (0, 0, "no pii here")
+    assert out[3] == (0, 1, "<PHONE>")
+    # idempotent: placeholders contain no matchable PII
+    once = df.select("doc_id", T.scrub_pii(F.col("text")).alias("text"))
+    ne2, np2 = T.pii_counts(F.col("text"))
+    residual = once.select((ne2 + np2).alias("n")).agg(F.sum("n")).first()[0]
+    assert residual == 0
