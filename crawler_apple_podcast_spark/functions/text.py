@@ -117,3 +117,24 @@ def scrub_pii(text: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
     )
+
+
+def dup_ngram_milli(tk: Column, n: int = 2) -> Column:
+    """Within-doc repetition signal (the Gopher-style quality rule):
+    per-mille fraction of n-gram OCCURRENCES that are repeats of an
+    earlier occurrence — 0 for all-distinct docs, approaching 1000 for
+    loopy boilerplate.  Takes the MATERIALIZED token-array column, not
+    raw text: an inlined ``tokens(text)`` would re-split the document
+    per gram inside the lambda (the re-eval trap shingle_rows
+    documents).  Docs with fewer than ``n`` tokens score 0 (no grams,
+    nothing repeats); exact integer arithmetic throughout."""
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - n + 1),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array())
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return idiv((total - distinct) * F.lit(1000), total)

@@ -1232,6 +1232,32 @@ def corpus_profile(spark, sf):
     )
 
 
+# Gopher-style repetition gate: per-mille duplicated-2-gram fraction
+# per doc, plus the keep decision at the classic <200 threshold.
+@q(
+    "text_repetition_filter",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " g AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN"
+    " list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])"
+    " ELSE [] END AS grams FROM t)"
+    " SELECT doc_id,"
+    " COALESCE(((len(grams) - len(list_distinct(grams))) * 1000) // nullif(len(grams), 0), 0)"
+    " ::BIGINT AS dup_milli,"
+    " COALESCE(((len(grams) - len(list_distinct(grams))) * 1000) // nullif(len(grams), 0), 0)"
+    " < 200 AS keep FROM g",
+)
+def text_repetition_filter(spark, sf):
+    """Within-doc repetition scoring (duplicate 2-gram fraction) and
+    the keep gate — the Gopher-rule quality filter."""
+    d = _t(spark, sf, "documents")
+    t = d.select("doc_id", T.tokens(F.col("text")).alias("_tk"))
+    dup = T.dup_ngram_milli(F.col("_tk"), 2)
+    return t.select(
+        "doc_id", dup.alias("dup_milli"), (dup < 200).alias("keep")
+    )
+
+
 # PII scrubbing (functions/text.py): synthetic emails/phones are
 # injected closed-form from doc_id on BOTH sides (the corpus itself
 # carries none), then counted and redacted; patterns are chosen to

@@ -114,3 +114,16 @@ def test_pii_scrub_golden_and_idempotent(spark):
     ne2, np2 = T.pii_counts(F.col("text"))
     residual = once.select((ne2 + np2).alias("n")).agg(F.sum("n")).first()[0]
     assert residual == 0
+
+
+def test_dup_ngram_milli_hand_cases(spark):
+    rows = [
+        (1, "a b a b a b"),      # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct -> 600
+        (2, "a b c d e"),        # all distinct -> 0
+        (3, "x"),                # < n tokens -> 0
+        (4, "w w w w"),          # ww ww ww -> 3 total 1 distinct -> 666
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    t = df.select("doc_id", T.tokens(F.col("text")).alias("_tk"))
+    out = {r.doc_id: r.m for r in t.select("doc_id", T.dup_ngram_milli(F.col("_tk"), 2).alias("m")).collect()}
+    assert out == {1: 600, 2: 0, 3: 0, 4: 666}
