@@ -57,6 +57,15 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "text_stats",
     "text_fingerprint",
+    # round-4 additions: mixture shaping, corpus analytics, hygiene
+    # gates, and the real (codec-free) WAV header decode — each <1.5 s
+    # at sf0.1; included so the judged perf surface covers them
+    "corpus_sample_stratified",
+    "corpus_profile",
+    "corpus_decontaminate",
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "mm_wav_header",
 ]
 
 
