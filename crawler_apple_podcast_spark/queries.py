@@ -27,6 +27,7 @@ from .functions import text as T
 from .functions import urls as U
 from .functions.episodes import asset_paths
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
+from .operators import clustering as CL
 from .operators import decontaminate as DC
 from .operators import graph as G
 from .operators import multimodal as MM
@@ -1230,6 +1231,43 @@ def corpus_profile(spark, sf):
     return tot.join(med, "lang").select(
         "lang", "n_docs", "total_tokens", "min_tokens", "max_tokens", "median_tokens"
     )
+
+
+# Lloyd's k-means over embeddings (operators/clustering.py), exactly
+# replayable because cosine assignment is scale-invariant per centroid
+# — centroids stay integer SUM-vectors, never float means.  One
+# iteration from the stride-sampled codebook; the oracle chains the
+# same init -> assign -> per-dim integer sums (empty cells keep the
+# previous centroid) -> reassign as CTEs.
+@q(
+    "cluster_kmeans",
+    "WITH e0 AS (SELECT vec_id,"
+    " list_transform(embedding::DOUBLE[], x -> floor(x*1000+0.5)) AS qe FROM embeddings),"
+    " st AS (SELECT greatest(1, count(*) // 8) AS s FROM e0),"
+    " cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qe AS cv"
+    " FROM e0, st WHERE vec_id % s = 0 ORDER BY vec_id LIMIT 8),"
+    " sc1 AS (SELECT e0.vec_id, cent.cell, list_dot_product(e0.qe, cent.cv)"
+    " / sqrt(list_dot_product(cent.cv, cent.cv)) AS score FROM e0 CROSS JOIN cent),"
+    " a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER"
+    " (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc1) WHERE rn = 1),"
+    " s1 AS (SELECT cell, d, CAST(sum(qe[d]) AS BIGINT) AS sv FROM a1 JOIN e0"
+    " USING (vec_id) CROSS JOIN generate_series(1, 64) AS t(d) GROUP BY cell, d),"
+    " c1 AS (SELECT cell, list(CAST(sv AS DOUBLE) ORDER BY d) AS cv FROM s1 GROUP BY cell),"
+    " cf AS (SELECT cent.cell, COALESCE(c1.cv, cent.cv) AS cv FROM cent LEFT JOIN c1 USING (cell)),"
+    " sc2 AS (SELECT e0.vec_id, cf.cell, list_dot_product(e0.qe, cf.cv)"
+    " / sqrt(list_dot_product(cf.cv, cf.cv)) AS score FROM e0 CROSS JOIN cf),"
+    " a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER"
+    " (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc2) WHERE rn = 1)"
+    " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2",
+)
+def cluster_kmeans(spark, sf):
+    """One Lloyd iteration of cosine k-means (k=8) from the
+    deterministic stride-sampled codebook — assignments bit-match the
+    SQL replay because every quantity stays exact integers (see
+    operators/clustering.py)."""
+    emb = _t(spark, sf, "embeddings")
+    assign, _cents = CL.kmeans_lloyd(emb, 8, n_iter=1, dim=64)
+    return assign.select("vec_id", F.col("cell").cast("long").alias("cell"))
 
 
 # Gopher-style repetition gate: per-mille duplicated-2-gram fraction

@@ -1,0 +1,64 @@
+"""Lloyd k-means: planted-cluster recovery, iteration improvement,
+empty-cell rule, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators import clustering as CL
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """4 well-separated clusters of 50 vectors each (axis-aligned
+    bumps + small deterministic noise)."""
+    base = spark.range(200)
+    cl = (F.col("id") / 50).cast("int")
+    comps = []
+    for d in range(16):
+        center = F.when(cl == d // 4, F.lit(1.0)).otherwise(F.lit(0.05))
+        noise = F.lit(0.01) * F.sin((F.col("id") + 1).cast("double") * F.lit(d + 1.0))
+        comps.append((center + noise).cast("float"))
+    return base.select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    ).cache()
+
+
+def _purity(assign_rows, group=50):
+    by_cell: dict[int, list[int]] = {}
+    for r in assign_rows:
+        by_cell.setdefault(r.cell, []).append(r.vec_id // group)
+    hits = sum(max(v.count(g) for g in set(v)) for v in by_cell.values())
+    return hits / sum(len(v) for v in by_cell.values())
+
+
+def test_recovers_planted_clusters_and_iterations_help(spark, planted):
+    a0, _ = CL.kmeans_lloyd(planted, 4, n_iter=0, dim=16)   # raw stride init
+    a2, _ = CL.kmeans_lloyd(planted, 4, n_iter=2, dim=16)
+    p0, p2 = _purity(a0.collect()), _purity(a2.collect())
+    assert p2 >= p0
+    assert p2 >= 0.95  # well-separated planted clusters are recovered
+
+
+def test_deterministic(spark, planted):
+    a, c = CL.kmeans_lloyd(planted, 4, n_iter=2, dim=16)
+    b, c2 = CL.kmeans_lloyd(planted.repartition(7), 4, n_iter=2, dim=16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert np.array_equal(c, c2)
+
+
+def test_empty_cell_keeps_previous_centroid(spark):
+    """With k=3 over 2 tight clusters, some cell wins nothing; its
+    centroid must persist (not NaN/zero) and the run must stay total —
+    every vector assigned every iteration."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)] + [
+        (i, [0.0, 1.0, 0.0, 0.0]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    assign, cents = CL.kmeans_lloyd(df, 3, n_iter=2, dim=4)
+    got = assign.collect()
+    assert len(got) == 12
+    assert np.isfinite(cents).all()
+    assert not np.array_equal(cents, np.zeros_like(cents))
