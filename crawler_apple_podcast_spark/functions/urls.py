@@ -148,3 +148,17 @@ def user_agent_for(url: Column, agents: list[str], index_expr: Column | None = N
         else F.pmod(F.xxhash64(url), F.lit(len(agents)))
     )
     return F.element_at(arr, (idx + 1).cast("int"))
+
+
+def extract_sitemap_urls(xml: Column) -> Column:
+    """URL list from a sitemap-XML string column: every ``<loc>`` entry,
+    whitespace-trimmed.  One codegen regexp pass — ``[^<]*`` instead of
+    a non-greedy ``.*?`` so the pattern means the same thing in Java
+    regex and RE2 (the oracle dialect), and nested markup cannot make
+    it overrun a closing tag.  Feed the result through
+    ``canonicalize_url`` + the Bloom/politeness gates to turn a fetched
+    sitemap page into frontier candidates."""
+    return F.transform(
+        F.regexp_extract_all(xml, F.lit(r"<loc>([^<]*)</loc>"), F.lit(1)),
+        lambda u: F.trim(u),
+    )

@@ -1233,6 +1233,47 @@ def corpus_profile(spark, sf):
     )
 
 
+# Sitemap ingestion: <loc> extraction from sitemap XML -> posexplode
+# -> canonicalization, the discovery path that turns a fetched
+# /sitemap.xml page into frontier candidates.  XML is synthesized
+# closed-form from doc_id (1-3 entries per doc, uppercase scheme/host,
+# default port, unsorted query, fragment, stray whitespace) so the
+# oracle predicts the canonical output without parsing anything.
+@q(
+    "sitemap_ingest",
+    "WITH j AS (SELECT doc_id, d AS pos FROM documents"
+    " CROSS JOIN generate_series(0, 2) t(d) WHERE d <= doc_id % 3)"
+    " SELECT doc_id, CAST(pos AS BIGINT) AS pos,"
+    " 'https://site' || (doc_id % 50) || '.example/page/' || doc_id || '/' || pos"
+    " || '?a=1&b=2' AS fetch_url FROM j",
+)
+def sitemap_ingest(spark, sf):
+    """Sitemap XML -> ordered, canonicalized frontier candidates."""
+    d = _t(spark, sf, "documents")
+
+    def block(j: int):
+        return F.when(
+            F.pmod("doc_id", F.lit(3)) >= j,
+            F.concat(
+                F.lit("<url><loc> HTTPS://Site"),
+                F.pmod("doc_id", F.lit(50)).cast("string"),
+                F.lit(".Example:443/page/"),
+                F.col("doc_id").cast("string"),
+                F.lit(f"/{j}?b=2&a=1#f </loc></url>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    xml = F.concat(F.lit("<urlset>"), block(0), block(1), block(2), F.lit("</urlset>"))
+    t = d.select("doc_id", U.extract_sitemap_urls(xml).alias("_locs"))
+    return t.select(
+        "doc_id", F.posexplode("_locs").alias("pos", "_raw")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        U.canonicalize_url(F.col("_raw")).alias("fetch_url"),
+    )
+
+
 # Lloyd's k-means over embeddings (operators/clustering.py), exactly
 # replayable because cosine assignment is scale-invariant per centroid
 # — centroids stay integer SUM-vectors, never float means.  One

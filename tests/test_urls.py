@@ -140,3 +140,19 @@ def test_canonicalize_idempotent_property(spark, urls):
     cc = c.select("c1", U.canonicalize_url(F.col("c1")).alias("c2"))
     bad = cc.where(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad
+
+
+def test_extract_sitemap_urls(spark):
+    from crawler_apple_podcast_spark.functions.urls import extract_sitemap_urls
+
+    rows = [
+        (1, "<urlset><url><loc>https://a.example/x</loc></url>"
+            "<url><loc>  https://b.example/y </loc></url></urlset>"),
+        (2, "<urlset></urlset>"),                      # no entries
+        (3, "<loc>relative/path</loc> junk <loc></loc>"),  # bare + empty loc
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, xml STRING")
+    out = {r.doc_id: r.u for r in df.select("doc_id", extract_sitemap_urls(F.col("xml")).alias("u")).collect()}
+    assert out[1] == ["https://a.example/x", "https://b.example/y"]
+    assert out[2] == []
+    assert out[3] == ["relative/path", ""]
