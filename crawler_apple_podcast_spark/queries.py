@@ -31,6 +31,7 @@ from .operators import clustering as CL
 from .operators import decontaminate as DC
 from .operators import graph as G
 from .operators import multimodal as MM
+from .operators import retry as RT
 from .operators import sampling as SAMP
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
@@ -1231,6 +1232,41 @@ def corpus_profile(spark, sf):
     return tot.join(med, "lang").select(
         "lang", "n_docs", "total_tokens", "min_tokens", "max_tokens", "median_tokens"
     )
+
+
+# Retry scheduling (operators/retry.py): synthetic fetch log derived
+# closed-form from events (each url key attempted once per wave
+# block, deterministic failures), then the backoff rule — a URL whose
+# LATEST attempt failed re-enters at last_wave + 2^failures unless
+# past the attempt cap.
+@q(
+    "crawl_retry_schedule",
+    "WITH fl AS (SELECT (event_id % 120) % 5 AS seed_index,"
+    " 'https://h' || (event_id % 120) || '.example/p' AS fetch_url,"
+    " event_id // 120 AS wave, (event_id % 7) <> 0 AS fetch_ok FROM events),"
+    " g AS (SELECT seed_index, fetch_url,"
+    " CAST(sum(CASE WHEN NOT fetch_ok THEN 1 ELSE 0 END) AS BIGINT) AS failures,"
+    " CAST(max(wave) AS BIGINT) AS last_wave,"
+    " arg_max(fetch_ok, wave) AS last_ok"
+    " FROM fl GROUP BY seed_index, fetch_url)"
+    " SELECT seed_index, fetch_url, failures,"
+    " last_wave + CAST(power(2, failures) AS BIGINT) AS due_wave"
+    " FROM g WHERE NOT last_ok AND failures <= 30",
+)
+def crawl_retry_schedule(spark, sf):
+    """Exponential-backoff retry schedule over a deterministic fetch
+    log: failures count, latest-attempt gate, due wave."""
+    e = _t(spark, sf, "events")
+    key = F.pmod("event_id", F.lit(120))
+    fl = e.select(
+        F.pmod(key, F.lit(5)).cast("int").alias("seed_index"),
+        F.concat(F.lit("https://h"), key.cast("string"), F.lit(".example/p")).alias(
+            "fetch_url"
+        ),
+        (F.col("event_id") / 120).cast("long").alias("wave"),
+        (F.pmod("event_id", F.lit(7)) != 0).alias("fetch_ok"),
+    )
+    return RT.schedule_retries(fl, max_attempts=30)
 
 
 # Sitemap ingestion: <loc> extraction from sitemap XML -> posexplode
