@@ -41,6 +41,7 @@ from ..operators.politeness import (
     politeness_gate,
     release_rank_cache,
 )
+from ..operators.retry import due_retries, schedule_retries
 from .snapshots import SnapshotStore
 from .status import latest_status, wave_status_delta
 
@@ -64,6 +65,15 @@ class WaveConfig:
     default_budget: int = 1 << 30
     default_crawl_delay: int = 5
     salt_n: int = 16
+    # Exponential-backoff retries of failed fetches (operators/retry.py):
+    # None = off (the reference's behavior — failures are lost,
+    # crawler_podcasts.py:28-30 — and the e1 parity oracles assume it);
+    # an int enables re-fetching a URL whose latest attempt failed at
+    # wave last+2^failures, abandoning it past this many failures.
+    # Backoff is a lower bound on spacing: when the frontier otherwise
+    # drains, the earliest pending retries run immediately (an idle
+    # crawler advances time) so waves stay contiguous for the store.
+    retry_max_attempts: int | None = None
 
 
 def make_join_fetcher(pages: DataFrame):
@@ -272,6 +282,25 @@ def run_crawl(
         if store is None:
             visited = visited.localCheckpoint()
         frontier = next_frontier(parsed, visited, deferred, wave + 1).localCheckpoint()
+
+        if cfg.retry_max_attempts is not None:
+            # Cumulative log incl. this wave (parts are materialized).
+            full_log = fetch_log
+            for p in fetchlog_parts:
+                full_log = full_log.unionByName(p)
+            sched = schedule_retries(full_log, cfg.retry_max_attempts)
+            due = due_retries(sched, wave + 1)
+            if frontier.limit(1).count() == 0 and due.limit(1).count() == 0:
+                # Idle advance: nothing else to do — run the earliest
+                # pending retries now instead of ending the crawl with
+                # work still scheduled (wave numbering stays contiguous
+                # for the snapshot store; backoff is a lower bound).
+                nd = sched.agg(F.min("due_wave")).first()[0]
+                if nd is not None:
+                    due = due_retries(sched, int(nd))
+            # Retried URLs are by definition visited, and deferred rows
+            # were never fetched — the union is disjoint from the base.
+            frontier = frontier.unionByName(due).localCheckpoint()
 
         if store is not None:
             # K3 lifecycle delta: fetched -> 3/4, deferred stays 1;

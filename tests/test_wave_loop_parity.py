@@ -159,3 +159,51 @@ def test_custom_fetcher_interface_parity(spark, corpus, corpus_pdfs):
 
     with pytest.raises(NotImplementedError):
         run_crawl(spark, pages, seeds, WaveConfig(max_waves=1), fetcher=http_fetcher_stub)
+
+
+def test_retries_recover_wave0_outage(spark, corpus):
+    """A fetcher that blacks out wave 0 entirely: with backoff retries
+    enabled the crawl recovers every episode a healthy run finds (the
+    idle-advance rule reruns the failed seeds as soon as the frontier
+    is otherwise empty); with retries off (the reference's behavior)
+    the failures are lost and nothing is ever extracted."""
+    from crawler_apple_podcast_spark.plans.wave_loop import (
+        WaveConfig,
+        make_join_fetcher,
+        run_crawl,
+    )
+
+    pages, seeds = corpus
+    inner = make_join_fetcher(pages)
+
+    def outage_fetcher(wave_side):
+        fetched = inner(wave_side)
+        return fetched.withColumn(
+            "html", F.when(F.col("wave") == 0, F.lit(None)).otherwise(F.col("html"))
+        )
+
+    healthy = run_crawl(spark, pages, seeds, WaveConfig())
+    n_healthy = healthy.episodes.count()
+    assert n_healthy > 0
+
+    no_retry = run_crawl(spark, pages, seeds, WaveConfig(), fetcher=outage_fetcher)
+    assert no_retry.episodes.count() == 0
+
+    retried = run_crawl(
+        spark, pages, seeds, WaveConfig(retry_max_attempts=3), fetcher=outage_fetcher
+    )
+    assert retried.episodes.count() == n_healthy
+    # recovery costs extra waves (the corpus also has PERMANENT misses
+    # — ghost cursors — that retries re-attempt until the cap), but the
+    # loop still terminates well inside max_waves
+    assert healthy.n_waves < retried.n_waves < WaveConfig().max_waves
+    # the attempt cap holds: a permanently-missing URL is fetched at
+    # most 1 + 3 times (4th failure exceeds the cap and abandons it)
+    attempts = (
+        retried.fetch_log.groupBy("seed_index", "fetch_url")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("fetch_ok").alias("ever_ok"))
+    )
+    worst = attempts.where(~F.col("ever_ok")).agg(F.max("n")).first()[0]
+    assert worst == 4
+    # recovered URLs were fetched at most twice (wave-0 fail + success)
+    assert attempts.where(F.col("ever_ok")).agg(F.max("n")).first()[0] <= 2
