@@ -46,3 +46,46 @@ def test_due_slice_shapes_frontier_rows(spark):
     due5 = _rows(due_retries(sched, 5))
     assert due5 == {(0, "u1", 1), (0, "u2", 2)}
     assert due_retries(sched, 5).columns == ["seed_index", "url", "priority"]
+
+
+# ------------------------------------------------ property: invariants
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 6), st.booleans()),
+        min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(0, 4),
+)
+def test_retry_invariants_property(spark, spec, cap):
+    """Random (url_key, wave, ok) logs x random caps: (1) scheduled
+    keys are exactly those whose latest attempt failed with failures <=
+    cap, (2) due_wave = last_wave + 2^failures, (3) due_retries slices
+    monotonically in the current wave."""
+    rows = [(k % 3, f"u{k}", w, ok) for (k, w), ok in
+            {(k, w): ok for k, w, ok in spec}.items()]
+    fl = spark.createDataFrame(rows, "seed_index INT, fetch_url STRING, wave INT, fetch_ok BOOLEAN")
+    out = {r.fetch_url: (r.failures, r.due_wave)
+           for r in schedule_retries(fl, max_attempts=cap).collect()}
+    # python replay
+    by_key: dict[str, list[tuple[int, bool]]] = {}
+    for _, u, w, ok in rows:
+        by_key.setdefault(u, []).append((w, ok))
+    expect = {}
+    for u, atts in by_key.items():
+        atts.sort()
+        fails = sum(1 for _, ok in atts if not ok)
+        if not atts[-1][1] and fails <= cap:
+            expect[u] = (fails, atts[-1][0] + 2 ** fails)
+    assert out == expect
+    sched = schedule_retries(fl, max_attempts=cap)
+    n_prev = -1
+    for wave in range(0, 8, 2):
+        n = due_retries(sched, wave).count()
+        assert n >= n_prev
+        n_prev = n
