@@ -260,3 +260,38 @@ def parse_wav_header(media: DataFrame, blob_col: str = "blob") -> DataFrame:
         "media_id",
         *[F.when(magic_ok, expr).alias(name) for name, expr in fields.items()],
     )
+
+
+# ------------------------------------------- compression quality signal
+
+
+def compression_ratio_milli(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bytes, ratio_milli): zlib-compressed size per mille of
+    the UTF-8 byte length — the classic entropy-based quality signal
+    (natural prose ~300-600, random strings ~1000+, loopy boilerplate
+    ~100).  Arrow-batched ``mapInPandas`` (zlib is CPU-bound C code —
+    the right side of the Python boundary), deterministic for a fixed
+    zlib level so results are stable across runs and cluster layouts;
+    empty texts score 0.  No SQL oracle exists (DuckDB has no zlib) —
+    the driver records the weaker rows-only check and pytest referees
+    against direct ``zlib.compress`` calls."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n = raw.map(len)
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "ratio_milli": [
+                        (c * 1000) // t if t else 0 for c, t in zip(comp, n)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "doc_id BIGINT, n_bytes BIGINT, ratio_milli BIGINT"
+    )

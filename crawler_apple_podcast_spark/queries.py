@@ -1234,6 +1234,19 @@ def corpus_profile(spark, sf):
     )
 
 
+# Compression-ratio quality signal (operators/multimodal.py): zlib
+# bytes per mille — NO SQL oracle (DuckDB has no zlib), so the driver
+# records the weaker rows-only check; pytest referees the values
+# against direct zlib.compress calls and the determinism of level-6
+# zlib makes the rows-only check stable.
+@q("text_compression_signal", None)
+def text_compression_signal(spark, sf):
+    """Entropy-based quality signal: zlib-compressed size per mille of
+    the UTF-8 length, Arrow-batched."""
+    d = _t(spark, sf, "documents")
+    return MM.compression_ratio_milli(d, "doc_id", "text")
+
+
 # Retry scheduling (operators/retry.py): synthetic fetch log derived
 # closed-form from events (each url key attempted once per wave
 # block, deterministic failures), then the backoff rule — a URL whose

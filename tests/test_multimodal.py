@@ -150,3 +150,25 @@ def test_wav_parse_rejects_non_wav_blobs(spark):
     df = spark.createDataFrame(rows, "media_id INT, blob BINARY")
     out = {r.media_id: r.sample_rate for r in MM.parse_wav_header(df).collect()}
     assert out == {1: None, 2: None, 3: None}
+
+
+def test_compression_ratio_referee(spark):
+    """Values match direct zlib.compress; ordering separates loopy
+    boilerplate < prose < random-ish text; empty scores 0."""
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and keeps going"),
+        (2, "spam " * 200),
+        (3, "kq9#Zx!7vR@2mW$8pL%4eT&6yU*1oI(3aS)5dF-0gH_jKcVbNn"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: (r.n_bytes, r.ratio_milli)
+           for r in MM.compression_ratio_milli(df, "doc_id", "text").collect()}
+    for did, text in rows:
+        raw = text.encode("utf-8")
+        want = (len(zlib.compress(raw, 6)) * 1000) // len(raw) if raw else 0
+        assert out[did] == (len(raw), want)
+    assert out[2][1] < out[1][1] < out[3][1]
+    assert out[4] == (0, 0)
