@@ -152,7 +152,8 @@ def user_agent_for(url: Column, agents: list[str], index_expr: Column | None = N
 
 def extract_sitemap_urls(xml: Column) -> Column:
     """URL list from a sitemap-XML string column: every ``<loc>`` entry,
-    whitespace-trimmed.  One codegen regexp pass — ``[^<]*`` instead of
+    space-trimmed (Spark ``trim`` semantics: ASCII spaces only —
+    control characters survive, unlike Python ``str.strip``).  One codegen regexp pass — ``[^<]*`` instead of
     a non-greedy ``.*?`` so the pattern means the same thing in Java
     regex and RE2 (the oracle dialect), and nested markup cannot make
     it overrun a closing tag.  Feed the result through

@@ -172,3 +172,22 @@ def test_compression_ratio_referee(spark):
         assert out[did] == (len(raw), want)
     assert out[2][1] < out[1][1] < out[3][1]
     assert out[4] == (0, 0)
+
+
+# --------------------------------- property: WAV parser totality
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=8))
+def test_wav_parse_total_on_arbitrary_bytes(spark, blobs):
+    """Arbitrary byte blobs never crash the parser: every row comes
+    back, with either all-NULL fields or (if the magic happens to
+    match) finite integers."""
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "media_id INT, blob BINARY")
+    got = MM.parse_wav_header(df).collect()
+    assert len(got) == len(blobs)
+    for r in got:
+        assert r.sample_rate is None or r.sample_rate >= 0

@@ -156,3 +156,29 @@ def test_extract_sitemap_urls(spark):
     assert out[1] == ["https://a.example/x", "https://b.example/y"]
     assert out[2] == []
     assert out[3] == ["relative/path", ""]
+
+
+# --------------------------------- property: sitemap round trip
+
+from hypothesis import given, settings, strategies as st
+
+_URLS = st.lists(
+    st.text(alphabet=st.characters(blacklist_characters="<&", blacklist_categories=("Cs",)), max_size=30),
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_URLS)
+def test_sitemap_roundtrip_property(spark, urls):
+    """Arbitrary loc contents (anything but markup chars): building a
+    sitemap then extracting returns exactly the space-trimmed inputs,
+    in order.  (Spark trim strips ASCII spaces only — hypothesis
+    found that Python str.strip also eats \x1c-\x1f, so the model
+    here is strip(' '), the operator's actual contract.)"""
+    from crawler_apple_podcast_spark.functions.urls import extract_sitemap_urls
+
+    xml = "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in urls) + "</urlset>"
+    df = spark.createDataFrame([(xml,)], "xml STRING")
+    (got,) = df.select(extract_sitemap_urls(F.col("xml")).alias("u")).first()
+    assert got == [u.strip(' ') for u in urls]
