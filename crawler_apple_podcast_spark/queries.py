@@ -32,6 +32,7 @@ from .operators import decontaminate as DC
 from .operators import graph as G
 from .operators import multimodal as MM
 from .operators import retry as RT
+from .operators import robots as RB
 from .operators import sampling as SAMP
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
@@ -1824,6 +1825,99 @@ def mm_resize_checksum(spark, sf):
     return r.select(
         "media_id", F.length("blob").alias("n_bytes"), F.md5("blob").alias("blob_md5")
     )
+
+
+# ------------------------------------------------- robots.txt (RFC 9309)
+
+# Both entries synthesize robots bodies / frontier URLs deterministically
+# from ``documents`` (20 hosts, 6 path shapes), run the real parser/gate
+# on the Spark side, and check against an ANALYTICALLY derived truth
+# table in SQL — the oracle re-derives the RFC-9309 longest-match
+# verdicts by hand from the synthesis parameters, so the two sides share
+# no code at all.
+#
+# Body for host h (hosts h0..h19.example):
+#   [h%3==0 only]  User-agent: podbot / Disallow: /p / Allow: /p/ok
+#   [always]       User-agent: * / Disallow: /*.json$ / Allow: /a*
+#                  / Disallow: /a/x
+
+def _robots_corpus(spark, sf):
+    d = _t(spark, sf, "documents")
+    hosts = d.select(F.pmod("doc_id", F.lit(20)).alias("h")).distinct()
+    podbot_grp = "User-agent: podbot\nDisallow: /p\nAllow: /p/ok\n"
+    star_grp = "User-agent: *\nDisallow: /*.json$\nAllow: /a*\nDisallow: /a/x"
+    return hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.when(F.pmod("h", F.lit(3)) == 0, F.lit(podbot_grp)).otherwise(F.lit("")),
+            F.lit(star_grp),
+        ).alias("body"),
+    )
+
+
+@q(
+    "robots_parse_rules",
+    "WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents),"
+    " r AS ("
+    "  SELECT h, 'podbot' AS agent, 'disallow' AS rule, '/p' AS path, 1 AS ln"
+    "   FROM hosts WHERE h % 3 = 0"
+    "  UNION ALL SELECT h, 'podbot', 'allow', '/p/ok', 2 FROM hosts WHERE h % 3 = 0"
+    "  UNION ALL SELECT h, '*', 'disallow', '/*.json$',"
+    "   CASE WHEN h % 3 = 0 THEN 4 ELSE 1 END FROM hosts"
+    "  UNION ALL SELECT h, '*', 'allow', '/a*',"
+    "   CASE WHEN h % 3 = 0 THEN 5 ELSE 2 END FROM hosts"
+    "  UNION ALL SELECT h, '*', 'disallow', '/a/x',"
+    "   CASE WHEN h % 3 = 0 THEN 6 ELSE 3 END FROM hosts)"
+    " SELECT 'h' || h || '.example' AS host, agent, rule, path,"
+    " CAST(ln AS BIGINT) AS line_no FROM r",
+)
+def robots_parse_rules_q(spark, sf):
+    """Full RFC-9309 parse (agent blocks, shared rules, line numbers)
+    vs the hand-derived rule table (operators/robots.py)."""
+    return RB.parse_robots_rules(_robots_corpus(spark, sf))
+
+
+@q(
+    "robots_gate_rfc",
+    "SELECT doc_id,"
+    " 'https://h' || (doc_id % 20) || '.example' ||"
+    " CASE doc_id % 6 WHEN 0 THEN '/p/z' WHEN 1 THEN '/p/ok/z'"
+    "  WHEN 2 THEN '/a/x/y' WHEN 3 THEN '/d/f.json'"
+    "  WHEN 4 THEN '/d/f.jsonx' ELSE '/free' END AS fetch_url,"
+    # hand-derived RFC-9309 verdicts: podbot hosts (h%3=0) use ONLY the
+    # podbot group ('/p' disallow beaten by longer '/p/ok' allow); star
+    # hosts use the * group ('/a/x' disallow outranks '/a*' allow;
+    # '$' anchors '.json' but not '.jsonx').
+    " CASE doc_id % 6"
+    "  WHEN 0 THEN (doc_id % 20) % 3 <> 0"
+    "  WHEN 2 THEN (doc_id % 20) % 3 = 0"
+    "  WHEN 3 THEN (doc_id % 20) % 3 = 0"
+    "  ELSE TRUE END AS allowed"
+    " FROM documents",
+)
+def robots_gate_rfc(spark, sf):
+    """Longest-match Allow/Disallow gate with agent-group selection,
+    wildcard + ``$`` patterns (operators/robots.py:robots_gate)."""
+    d = _t(spark, sf, "documents")
+    rules = RB.parse_robots_rules(_robots_corpus(spark, sf))
+    path = (
+        F.when(F.pmod("doc_id", F.lit(6)) == 0, F.lit("/p/z"))
+        .when(F.pmod("doc_id", F.lit(6)) == 1, F.lit("/p/ok/z"))
+        .when(F.pmod("doc_id", F.lit(6)) == 2, F.lit("/a/x/y"))
+        .when(F.pmod("doc_id", F.lit(6)) == 3, F.lit("/d/f.json"))
+        .when(F.pmod("doc_id", F.lit(6)) == 4, F.lit("/d/f.jsonx"))
+        .otherwise(F.lit("/free"))
+    )
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example"),
+            path,
+        ).alias("fetch_url"),
+    )
+    return RB.robots_gate(frontier, rules, "podbot", keep_decision=True)
 
 
 # ------------------------------------------------------------- accessors
