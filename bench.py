@@ -66,6 +66,13 @@ HEADLINE = [
     "text_repetition_filter",
     "text_pii_scrub",
     "mm_wav_header",
+    # late-round-4 additions: sequence packing (distributed prefix
+    # sum), keyword indexing, and iterative PageRank — the three
+    # remaining pipeline-stage shapes (scan-order scan, explode-agg
+    # rank, join-agg loop)
+    "pack_sequences",
+    "text_tfidf_topk",
+    "graph_pagerank",
 ]
 
 

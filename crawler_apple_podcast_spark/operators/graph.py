@@ -79,6 +79,90 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**12,
+    damping_permille: int = 850,
+) -> DataFrame:
+    """Integer-arithmetic PageRank over a directed host/link graph:
+    ``(node, rank_scaled)`` after ``iterations`` power-iteration steps.
+
+    Host-level PageRank is the canonical crawl-frontier prioritizer
+    (what the reference's fixed seed list never needed, and what a
+    web-scale frontier ranks by).  All arithmetic is scaled-integer —
+    scores live in units of ``1/scale``, every division is floor
+    division — so sums are associative and the result is bit-equal
+    across engines and partitionings (float PageRank would hash-diverge
+    on reduction order).  Update rule per iteration::
+
+        new(v) = (  (1000-d) * (scale div n)
+                  + d * ( sum_{u->v} score(u) div outdeg(u)
+                         + dangling_total div n ) ) div 1000
+
+    where dangling_total is the summed score of nodes with no
+    out-edges (their mass is spread uniformly, the standard fix).
+
+    Spark shape per iteration: one join (edges x scores, both keyed on
+    the src node — co-partitioned across iterations since the key never
+    changes), one groupBy-sum on dst (map-side combinable), and a
+    broadcast of the single-row dangling aggregate — no driver-side
+    collect in the loop.  ``localCheckpoint`` truncates the otherwise
+    unbounded iterative lineage.  At 10^8 hosts this is the textbook
+    Pregel-on-DataFrames plan; node count ``n`` is one scalar action up
+    front (driver-bounded, like the wave loop's control flow).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    base = scale // n
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
+    d = damping_permille
+    scores = nodes.select("node", F.lit(base).cast("long").alias("sc"))
+    for _ in range(iterations):
+        per_src = scores.join(outdeg, scores["node"] == outdeg["src"], "left")
+        contrib = (
+            per_src.where(F.col("_od").isNotNull())
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum(F.expr("sc div _od")).alias("inc"))
+        )
+        dangling = per_src.where(F.col("_od").isNull()).agg(
+            F.coalesce(F.sum("sc"), F.lit(0)).cast("long").alias("dang")
+        )
+        scores = (
+            nodes.join(contrib, nodes["node"] == contrib["node2"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1000 - d) * base).cast("long")
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("inc"), F.lit(0)).cast("long")
+                        + F.expr(f"dang div {n}")
+                    )
+                ).alias("_numer"),
+            )
+            .select("node", F.expr("_numer div 1000").alias("sc"))
+            .localCheckpoint()
+        )
+    return scores.select("node", F.col("sc").alias("rank_scaled"))
+
+
 def dedup_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -1,0 +1,147 @@
+"""Training-sequence packing: concat-and-chunk over a global doc order.
+
+LLM pre-training consumes fixed-length token sequences, so the last
+pipeline stage concatenates the corpus in a deterministic order and
+cuts it every ``budget`` tokens; a document that straddles a boundary
+is split across chunks.  The reference crawler stops at per-episode
+JSON files (/root/reference/handler/apple_podcast_api.py:60-76) — this
+stage only exists at training-data scale.
+
+The whole operator is one global *exclusive prefix sum* over token
+counts plus per-row arithmetic.  A naive Spark prefix sum is a window
+over ``Window.orderBy(order_col)`` — a single-partition global sort
+that dies at corpus scale.  Instead the classic two-phase scan:
+
+1. range-bucket rows by the order key (``n_buckets`` contiguous
+   ranges, so bucket order == global order);
+2. per-bucket token totals -> driver (``n_buckets`` longs — bounded by
+   configuration, not data), exclusive-prefix them, broadcast the
+   offsets back;
+3. an intra-bucket window (bounded by corpus/n_buckets rows, runs in
+   parallel across buckets) plus the bucket offset gives every doc its
+   exact global start token.
+
+From ``start`` the chunk assignment is pure per-row math: the doc
+covers tokens ``[start, start+toks)`` and lands in chunks
+``start div B .. (start+toks-1) div B`` — emitted with
+``sequence``+``explode`` (fan-out per doc = #chunks it touches, ~1).
+At 100 TB: n_buckets scales with the cluster (one window partition per
+bucket), the only shuffles are the bucket groupBy (tiny) and the
+window repartition; everything else is codegen map-side arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_token_starts(
+    docs: DataFrame,
+    token_col: str,
+    order_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add ``_start`` = exclusive prefix sum of ``token_col`` in
+    ``order_col`` order (the doc's global token offset).  ``order_col``
+    must be numeric and range-bucketable (bucketing by value range is
+    what keeps bucket order aligned with global order).  Rows with
+    ``token_col <= 0`` are dropped — they occupy no tokens.
+
+    Driver-bounded actions: one (min, max) row and one ``n_buckets``-row
+    collect — both O(configuration), never O(data).
+    """
+    d = docs.where(F.col(token_col) > 0)
+    # the (min,max) and bucket-totals driver jobs both scan the token
+    # projection — persist it across them so tokenization runs once for
+    # the control-flow jobs (the final pass recomputes it streaming,
+    # nothing stays pinned)
+    base = d
+    base.persist()
+    try:
+        lo, hi = d.agg(F.min(order_col), F.max(order_col)).first()
+        if lo is None:
+            return docs.where(F.col(token_col) > 0).withColumn(
+                "_start", F.lit(0).cast("long")
+            )
+        span = max(1, math.ceil((int(hi) - int(lo) + 1) / n_buckets))
+        d = d.withColumn(
+            "_bkt", F.expr(f"(cast({order_col} as long) - {int(lo)}) div {span}")
+        )
+        totals = {
+            r["_bkt"]: r["tot"]
+            for r in d.groupBy("_bkt").agg(F.sum(token_col).alias("tot")).collect()
+        }
+    finally:
+        base.unpersist()
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += int(totals.get(b, 0))
+    off = d.sparkSession.createDataFrame(offsets, "_bkt long, _off long")
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(off), "_bkt")
+        .withColumn(
+            "_start",
+            (F.col("_off") + F.coalesce(F.sum(token_col).over(w), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
+def pack_training_chunks(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``(order_col, chunk_id, doc_off, seg_len)`` — every (doc, chunk)
+    segment under concat-and-chunk packing at ``budget`` tokens per
+    chunk.  ``doc_off`` is the segment's first token within the doc;
+    segments of one doc are contiguous and their ``seg_len``s sum to
+    the doc's token count; every chunk is exactly ``budget`` tokens
+    full except the last.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    s = global_token_starts(docs, token_col, order_col, n_buckets)
+    toks = F.col(token_col).cast("long")
+    # integer `div`, not `/` (long / long is DOUBLE in Spark — loses
+    # exactness past 2^53 token offsets)
+    first = F.expr(f"_start div {budget}")
+    last = F.expr(f"(_start + cast({token_col} as long) - 1) div {budget}")
+    seg = s.select(
+        order_col,
+        toks.alias("_toks"),
+        F.col("_start").alias("_s"),
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    chunk_start = F.col("chunk_id") * budget
+    doc_off = F.greatest(F.lit(0).cast("long"), chunk_start - F.col("_s"))
+    seg_end = F.least(
+        F.col("_s") + F.col("_toks") - 1, chunk_start + F.lit(budget - 1)
+    )
+    return seg.select(
+        order_col,
+        "chunk_id",
+        doc_off.alias("doc_off"),
+        (seg_end - (F.col("_s") + doc_off) + F.lit(1)).alias("seg_len"),
+    )
+
+
+def chunk_fill_stats(chunks: DataFrame) -> DataFrame:
+    """Per-chunk fill audit over ``pack_training_chunks`` output:
+    ``(chunk_id, n_segments, fill)``."""
+    return chunks.groupBy("chunk_id").agg(
+        F.count("*").alias("n_segments"), F.sum("seg_len").alias("fill")
+    )

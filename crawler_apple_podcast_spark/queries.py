@@ -31,8 +31,10 @@ from .operators import clustering as CL
 from .operators import decontaminate as DC
 from .operators import graph as G
 from .operators import multimodal as MM
+from .operators import packing as PK
 from .operators import retry as RT
 from .operators import robots as RB
+from .operators import tfidf as TI
 from .operators import sampling as SAMP
 from .operators import similarity as S
 from .operators.skew import two_phase_agg
@@ -1918,6 +1920,121 @@ def robots_gate_rfc(spark, sf):
         ).alias("fetch_url"),
     )
     return RB.robots_gate(frontier, rules, "podbot", keep_decision=True)
+
+
+# ------------------------------------------- sequence packing / indexing
+
+
+@q(
+    "pack_sequences",
+    "WITH t AS (SELECT doc_id,"
+    " len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS toks"
+    " FROM documents),"
+    " p AS (SELECT doc_id, toks, COALESCE(SUM(toks) OVER ("
+    "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+    "  0)::BIGINT AS s FROM t WHERE toks > 0),"
+    " e AS (SELECT doc_id, toks, s,"
+    "  UNNEST(generate_series(s // 256, (s + toks - 1) // 256)) AS chunk_id"
+    "  FROM p)"
+    " SELECT doc_id, chunk_id,"
+    " CAST(GREATEST(0, chunk_id * 256 - s) AS BIGINT) AS doc_off,"
+    " CAST(LEAST(s + toks - 1, chunk_id * 256 + 255)"
+    "  - (s + GREATEST(0, chunk_id * 256 - s)) + 1 AS BIGINT) AS seg_len"
+    " FROM e",
+)
+def pack_sequences(spark, sf):
+    """Concat-and-chunk training-sequence packing at 256 tokens/chunk.
+    The oracle's single global window IS the thing the distributed
+    two-phase prefix sum replaces (operators/packing.py)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", T.token_count_ws(F.col("text")).alias("toks"))
+    return PK.pack_training_chunks(
+        toks, "toks", budget=256, order_col="doc_id", n_buckets=8
+    )
+
+
+@q(
+    "text_tfidf_topk",
+    "WITH toks AS (SELECT doc_id,"
+    " UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS term"
+    " FROM documents),"
+    " tfq AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf"
+    "  FROM toks GROUP BY doc_id, term),"
+    " dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tfq GROUP BY term),"
+    " m AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM documents),"
+    " sc AS (SELECT doc_id, tfq.term AS term, tf,"
+    "  (tf * ((n * 1000) // df))::BIGINT AS score"
+    "  FROM tfq JOIN dfq ON tfq.term = dfq.term CROSS JOIN m),"
+    " r AS (SELECT doc_id, term, tf, score, (ROW_NUMBER() OVER ("
+    "  PARTITION BY doc_id ORDER BY score DESC, term ASC))::BIGINT AS rk"
+    "  FROM sc)"
+    " SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 5",
+)
+def text_tfidf_topk(spark, sf):
+    """Top-5 terms per doc by integer TF-IDF — rank-preserving scaled
+    ratio instead of libm ln so both engines byte-match
+    (operators/tfidf.py)."""
+    return TI.tfidf_topk(_t(spark, sf, "documents"), k=5, idf_scale=1000)
+
+
+# Deterministic host link graph for PageRank: src = doc_id % 20, dst
+# mixes in doc_id div 20 so each host links to many others; host 13's
+# out-edges are dropped so the dangling-mass path is exercised.
+_PR_EDGES_SQL = (
+    "SELECT DISTINCT doc_id % 20 AS src,"
+    " (doc_id // 20 + 7 * (doc_id % 20) + 3) % 20 AS dst FROM documents"
+    " WHERE doc_id % 20 <> (doc_id // 20 + 7 * (doc_id % 20) + 3) % 20"
+    " AND doc_id % 20 <> 13"
+)
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12, d: int = 850) -> str:
+    """Unrolled power iteration in ANSI SQL — one (incoming, dangling,
+    score) CTE triple per iteration, floor division throughout, exactly
+    the update rule of operators/graph.py:pagerank."""
+    parts = [
+        f"WITH e AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "deg AS (SELECT src, COUNT(*)::BIGINT AS od FROM e GROUP BY src)",
+        "m AS (SELECT COUNT(*)::BIGINT AS n FROM nodes)",
+        f"s0 AS (SELECT node, ({scale} // n)::BIGINT AS sc FROM nodes, m)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"i{k} AS (SELECT dst AS node, SUM(sc // od)::BIGINT AS inc"
+            f" FROM e JOIN {p} ON e.src = {p}.node"
+            f" JOIN deg ON e.src = deg.src GROUP BY dst)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(sc), 0)::BIGINT AS dang"
+            f" FROM {p} WHERE node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"s{k} AS (SELECT nodes.node,"
+            f" (({1000 - d}) * ({scale} // n)"
+            f" + {d} * (COALESCE(inc, 0) + dang // n)) // 1000 AS sc"
+            f" FROM nodes CROSS JOIN m CROSS JOIN d{k}"
+            f" LEFT JOIN i{k} ON nodes.node = i{k}.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node AS host, sc::BIGINT AS rank_scaled FROM s{iters}"
+    )
+
+
+@q("graph_pagerank", _pagerank_oracle(iters=3))
+def graph_pagerank(spark, sf):
+    """3-iteration integer PageRank over the synthetic host link graph
+    vs the fully unrolled SQL power iteration (operators/graph.py)."""
+    d = _t(spark, sf, "documents")
+    edges = d.select(
+        F.expr("doc_id % 20").alias("src"),
+        F.expr("(doc_id div 20 + 7 * (doc_id % 20) + 3) % 20").alias("dst"),
+    ).where("src <> dst AND src <> 13")
+    return G.pagerank(edges, iterations=3).select(
+        F.col("node").alias("host"), "rank_scaled"
+    )
 
 
 # ------------------------------------------------------------- accessors

@@ -3,9 +3,12 @@ collapse to min-id components; fixpoint terminates; singletons absent."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
+
 from crawler_apple_podcast_spark.operators.graph import (
     connected_components,
     dedup_components,
+    pagerank,
 )
 
 
@@ -36,3 +39,75 @@ def test_dedup_components_columns(spark):
     e = _edges(spark, [(10, 11), (11, 12)])
     rows = {(r.doc_id, r.component) for r in dedup_components(e).collect()}
     assert rows == {(10, 10), (11, 10), (12, 10)}
+
+
+# ----------------------------------------------------------- pagerank
+
+def ref_pagerank(edges, iters=3, scale=10**12, d=850):
+    """Pure-Python integer power iteration (dict arithmetic, same
+    floor-division update rule, independently coded)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    sc = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for u, v in edges:
+            inc[v] += sc[u] // out[u]
+        dang = sum(sc[v] for v in nodes if v not in out)
+        sc = {
+            v: ((1000 - d) * (scale // n) + d * (inc[v] + dang // n)) // 1000
+            for v in nodes
+        }
+    return sc
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(list(edges), "src long, dst long")
+
+
+def test_pagerank_matches_referee_with_dangling(spark):
+    # 0->1->2->0 cycle plus 3 feeding 0 and a dangling sink 4
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 4), (1, 4)]
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank(_edges_df(spark, edges), iterations=3).collect()
+    }
+    assert got == ref_pagerank(edges, iters=3)
+    # sink 4 has no out-edges but still holds mass
+    assert got[4] > 0
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank(_edges_df(spark, edges), iterations=4).collect()
+    }
+    assert len(set(got.values())) == 1  # symmetry preserved exactly
+    assert got == ref_pagerank(edges, iters=4)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    ),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_pagerank_matches_referee_random_graphs(spark, edges, iters):
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank(
+            _edges_df(spark, edges), iterations=iters
+        ).collect()
+    }
+    assert got == ref_pagerank(sorted(edges), iters=iters)

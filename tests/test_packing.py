@@ -1,0 +1,120 @@
+"""Sequence packing vs a sequential Python referee.
+
+The referee is the obvious single-threaded concat-and-chunk loop; the
+operator is a two-phase distributed prefix sum.  Agreement across
+arbitrary token-count multisets and bucket counts is the proof that
+bucketing never perturbs the global order.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators.packing import (
+    chunk_fill_stats,
+    global_token_starts,
+    pack_training_chunks,
+)
+
+
+def ref_pack(toks_by_id: dict[int, int], budget: int) -> set[tuple[int, int, int, int]]:
+    """(doc_id, chunk_id, doc_off, seg_len) via the sequential loop."""
+    out, pos = set(), 0
+    for doc_id in sorted(toks_by_id):
+        t = toks_by_id[doc_id]
+        if t <= 0:
+            continue
+        off = 0
+        while off < t:
+            chunk = (pos + off) // budget
+            take = min(t - off, (chunk + 1) * budget - (pos + off))
+            out.add((doc_id, chunk, off, take))
+            off += take
+        pos += t
+    return out
+
+
+def _df(spark, toks_by_id):
+    return spark.createDataFrame(
+        [(k, v) for k, v in toks_by_id.items()], "doc_id long, toks long"
+    )
+
+
+def test_fixed_small(spark):
+    toks = {0: 3, 1: 5, 2: 4, 3: 10, 7: 1}
+    got = {
+        tuple(r)
+        for r in pack_training_chunks(_df(spark, toks), "toks", budget=4).collect()
+    }
+    assert got == ref_pack(toks, 4)
+
+
+def test_zero_token_docs_dropped(spark):
+    toks = {0: 0, 1: 5, 2: 0, 3: 3}
+    got = {
+        tuple(r)
+        for r in pack_training_chunks(_df(spark, toks), "toks", budget=8).collect()
+    }
+    assert got == ref_pack(toks, 8)
+    assert all(r[0] in (1, 3) for r in got)
+
+
+def test_chunk_fill_exact_except_last(spark):
+    toks = {i: 7 for i in range(40)}  # 280 tokens, budget 32 -> 8 full + tail
+    chunks = pack_training_chunks(_df(spark, toks), "toks", budget=32)
+    fills = {r.chunk_id: r.fill for r in chunk_fill_stats(chunks).collect()}
+    last = max(fills)
+    assert all(f == 32 for c, f in fills.items() if c != last)
+    assert fills[last] == 280 - 32 * last
+
+
+def test_starts_are_exclusive_prefix_sums(spark):
+    toks = {i: (i * 13) % 9 + 1 for i in range(50)}
+    got = {
+        r.doc_id: r._start
+        for r in global_token_starts(
+            _df(spark, toks), "toks", n_buckets=5
+        ).collect()
+    }
+    acc = 0
+    for i in sorted(toks):
+        assert got[i] == acc
+        acc += toks[i]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    toks=st.dictionaries(
+        st.integers(min_value=-50, max_value=10_000),
+        st.integers(min_value=0, max_value=40),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=1, max_value=17),
+    n_buckets=st.integers(min_value=1, max_value=9),
+)
+def test_matches_referee_any_buckets(spark, toks, budget, n_buckets):
+    got = {
+        tuple(r)
+        for r in pack_training_chunks(
+            _df(spark, toks), "toks", budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == ref_pack(toks, budget)
+
+
+def test_segments_reassemble_docs(spark):
+    toks = {i: (i * 7) % 23 + 1 for i in range(60)}
+    segs = pack_training_chunks(_df(spark, toks), "toks", budget=16)
+    per_doc = (
+        segs.groupBy("doc_id")
+        .agg(
+            F.sum("seg_len").alias("tot"),
+            F.min("doc_off").alias("first_off"),
+            (F.max(F.col("doc_off") + F.col("seg_len"))).alias("end"),
+        )
+        .collect()
+    )
+    for r in per_doc:
+        assert r.first_off == 0 and r.tot == toks[r.doc_id] == r.end
