@@ -150,6 +150,50 @@ def user_agent_for(url: Column, agents: list[str], index_expr: Column | None = N
     return F.element_at(arr, (idx + 1).cast("int"))
 
 
+def extract_hrefs(html: Column) -> Column:
+    """``href`` values of every ``<a>`` tag in an HTML string column,
+    both quote styles — document order within each style, all
+    double-quoted links before all single-quoted ones (two extraction
+    passes concatenated).  One codegen regexp pass per
+    quote style (RE2-safe: ``[^>]*`` / ``[^"]*`` instead of non-greedy
+    dot, so Java regex and the oracle dialect agree byte-for-byte);
+    scheme-noise links (``javascript:``, ``mailto:``, ``tel:``,
+    fragment-only) are dropped here so downstream resolution only sees
+    fetchable candidates."""
+    dq = F.regexp_extract_all(html, F.lit("<a [^>]*href=\"([^\"]*)\""), F.lit(1))
+    sq = F.regexp_extract_all(html, F.lit("<a [^>]*href='([^']*)'"), F.lit(1))
+    return F.filter(
+        F.concat(dq, sq),
+        lambda h: (F.length(h) > 0)
+        & ~h.startswith("#")
+        & ~h.startswith("javascript:")
+        & ~h.startswith("mailto:")
+        & ~h.startswith("tel:"),
+    )
+
+
+def resolve_href(href: Column, base_url: Column) -> Column:
+    """Resolve an extracted href against the page URL, codegen-only:
+    absolute stays; ``//h/p`` takes the base scheme; ``/p`` takes the
+    base origin; any other relative path resolves against the base
+    URL's directory (no ``..`` normalization — a canonical frontier
+    treats ``a/../b`` and ``b`` as distinct keys, which only costs a
+    re-fetch, never a wrong merge)."""
+    scheme = F.lower(F.coalesce(F.try_parse_url(base_url, F.lit("PROTOCOL")), F.lit("http")))
+    origin = F.concat(scheme, F.lit("://"), F.coalesce(host_of(base_url), F.lit("")))
+    base_path = F.coalesce(F.try_parse_url(base_url, F.lit("PATH")), F.lit("/"))
+    # directory of the base path: up to and including the last '/';
+    # a rootless base path ("https://h" -> PATH "") resolves under "/"
+    stripped = F.regexp_replace(base_path, r"[^/]*$", "")
+    base_dir = F.when(F.length(stripped) == 0, F.lit("/")).otherwise(stripped)
+    return (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+
+
 def extract_sitemap_urls(xml: Column) -> Column:
     """URL list from a sitemap-XML string column: every ``<loc>`` entry,
     space-trimmed (Spark ``trim`` semantics: ASCII spaces only —

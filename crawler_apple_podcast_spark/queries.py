@@ -29,6 +29,7 @@ from .functions.episodes import asset_paths
 from .functions.text import STOPWORDS, FINGERPRINT_MOD, idiv
 from .operators import clustering as CL
 from .operators import decontaminate as DC
+from .operators import domains as DOM
 from .operators import graph as G
 from .operators import multimodal as MM
 from .operators import packing as PK
@@ -2034,6 +2035,102 @@ def graph_pagerank(spark, sf):
     ).where("src <> dst AND src <> 13")
     return G.pagerank(edges, iterations=3).select(
         F.col("node").alias("host"), "rank_scaled"
+    )
+
+
+# --------------------------------------------- host & link-graph hygiene
+
+
+@q(
+    "domains_registrable",
+    # analytically derived truth table: each host class maps to a known
+    # public suffix (longest listed match, or last label when unlisted)
+    # and registrable domain (one label more; NULL when host == suffix)
+    "SELECT DISTINCT"
+    " CASE doc_id % 5"
+    "  WHEN 0 THEN 'a' || (doc_id % 7) || '.b.shop.co.uk'"
+    "  WHEN 1 THEN 's' || (doc_id % 7) || '.example'"
+    "  WHEN 2 THEN 'blog' || (doc_id % 7) || '.io'"
+    "  WHEN 3 THEN 'x.y' || (doc_id % 7) || '.weird.zz'"
+    "  ELSE 'uk' END AS host,"
+    " CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'example'"
+    "  WHEN 2 THEN 'io' WHEN 3 THEN 'zz' ELSE 'uk' END AS public_suffix,"
+    " CASE doc_id % 5"
+    "  WHEN 0 THEN 'shop.co.uk'"
+    "  WHEN 1 THEN 's' || (doc_id % 7) || '.example'"
+    "  WHEN 2 THEN 'blog' || (doc_id % 7) || '.io'"
+    "  WHEN 3 THEN 'weird.zz'"
+    "  ELSE NULL END AS registrable_domain"
+    " FROM documents",
+)
+def domains_registrable(spark, sf):
+    """Public-suffix longest match over synthesized hosts vs the
+    hand-derived class table (operators/domains.py).  Covers: multi-
+    label listed suffix beating its shorter suffix (co.uk > uk),
+    single-label suffix, unlisted TLD fallback, host == suffix."""
+    d = _t(spark, sf, "documents")
+    m5, m7 = F.pmod("doc_id", F.lit(5)), F.pmod("doc_id", F.lit(7)).cast("string")
+    host = (
+        F.when(m5 == 0, F.concat(F.lit("a"), m7, F.lit(".b.shop.co.uk")))
+        .when(m5 == 1, F.concat(F.lit("s"), m7, F.lit(".example")))
+        .when(m5 == 2, F.concat(F.lit("blog"), m7, F.lit(".io")))
+        .when(m5 == 3, F.concat(F.lit("x.y"), m7, F.lit(".weird.zz")))
+        .otherwise(F.lit("uk"))
+    )
+    hosts = d.select(host.alias("host")).distinct()
+    suffixes = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("io",), ("example",)], "suffix string"
+    )
+    return DOM.registrable_domains(hosts, suffixes)
+
+
+@q(
+    "html_link_extract",
+    # the synthesized page holds 3 double-quoted links (absolute,
+    # root-relative, protocol-relative), 1 single-quoted relative link,
+    # and 2 noise links (#fragment, javascript:) that must vanish;
+    # extraction order is dq-pass then sq-pass, each in document order
+    "WITH j AS (SELECT doc_id, p FROM documents"
+    " CROSS JOIN generate_series(0, 3) t(p))"
+    " SELECT doc_id, CAST(p AS BIGINT) AS pos, CASE p"
+    "  WHEN 0 THEN 'https://ext' || (doc_id % 9) || '.example/abs'"
+    "  WHEN 1 THEN 'https://h' || (doc_id % 20) || '.example/root/p' || doc_id"
+    "  WHEN 2 THEN 'https://cdn' || (doc_id % 3) || '.example/c'"
+    "  WHEN 3 THEN 'https://h' || (doc_id % 20) || '.example/dir/rel/'"
+    "   || doc_id || '.html'"
+    "  END AS url FROM j",
+)
+def html_link_extract(spark, sf):
+    """<a href> extraction + relative resolution against the page URL
+    (functions/urls.py:extract_hrefs/resolve_href), predicted
+    analytically by the oracle."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("https://h"),
+        F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(".example/dir/page"),
+        did,
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><a class="x" href="https://ext'),
+        F.pmod("doc_id", F.lit(9)).cast("string"),
+        F.lit('.example/abs">t</a><a href="/root/p'),
+        did,
+        F.lit('">r</a><a href="#frag">n</a><a href="//cdn'),
+        F.pmod("doc_id", F.lit(3)).cast("string"),
+        F.lit(".example/c\">p</a><a href='rel/"),
+        did,
+        F.lit(".html'>q</a><a href=\"javascript:void(0)\">j</a></html>"),
+    )
+    t = d.select("doc_id", base.alias("_base"), U.extract_hrefs(html).alias("_hrefs"))
+    return t.select(
+        "doc_id", F.posexplode("_hrefs").alias("pos", "_raw"), "_base"
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        U.resolve_href(F.col("_raw"), F.col("_base")).alias("url"),
     )
 
 

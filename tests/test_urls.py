@@ -182,3 +182,65 @@ def test_sitemap_roundtrip_property(spark, urls):
     df = spark.createDataFrame([(xml,)], "xml STRING")
     (got,) = df.select(extract_sitemap_urls(F.col("xml")).alias("u")).first()
     assert got == [u.strip(' ') for u in urls]
+
+
+# ------------------------------------------------- href extract/resolve
+
+def test_extract_hrefs_quotes_and_noise(spark):
+    html = (
+        '<html><a href="https://a.example/x">1</a>'
+        "<a class='k' href='rel/y.html'>2</a>"
+        '<a href="#frag">3</a><a href="javascript:void(0)">4</a>'
+        '<a href="mailto:x@y">5</a><a href="tel:+1">6</a>'
+        '<a href="/root">7</a><a name="noref">8</a></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(U.extract_hrefs(F.col("html")).alias("h")).first().h
+    # double-quoted pass first (document order), then single-quoted
+    assert got == ["https://a.example/x", "/root", "rel/y.html"]
+
+
+def test_resolve_href_fixed(spark):
+    cases = [
+        ("https://abs.example/p", "https://h.example/dir/page.html",
+         "https://abs.example/p"),
+        ("//cdn.example/c", "https://h.example/dir/page.html",
+         "https://cdn.example/c"),
+        ("/root/x", "https://h.example/dir/page.html",
+         "https://h.example/root/x"),
+        ("rel/x.html", "https://h.example/dir/page.html",
+         "https://h.example/dir/rel/x.html"),
+        ("rel", "https://h.example", "https://h.example/rel"),
+    ]
+    df = spark.createDataFrame(cases, "href string, base string, want string")
+    out = df.select(
+        U.resolve_href(F.col("href"), F.col("base")).alias("got"), "want"
+    ).collect()
+    for r in out:
+        assert r.got == r.want, r
+
+
+_seg = st.text(alphabet="abz", min_size=1, max_size=4)
+_relpath = st.lists(_seg, min_size=1, max_size=3).map("/".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    href=st.one_of(
+        _relpath,
+        _relpath.map(lambda p: "/" + p),
+        _relpath.map(lambda p: "//x.example/" + p),
+        _relpath.map(lambda p: "https://x.example/" + p),
+    ),
+    base_dirs=st.lists(_seg, min_size=0, max_size=3),
+)
+def test_resolve_href_matches_urljoin(spark, href, base_dirs):
+    """stdlib urllib.parse.urljoin as referee — restricted to paths
+    without dot segments, where RFC 3986 merge == our directory
+    concatenation."""
+    from urllib.parse import urljoin
+
+    base = "https://h.example/" + "/".join(base_dirs + ["page.html"])
+    df = spark.createDataFrame([(href, base)], "href string, base string")
+    got = df.select(U.resolve_href(F.col("href"), F.col("base")).alias("g")).first().g
+    assert got == urljoin(base, href), (href, base)
