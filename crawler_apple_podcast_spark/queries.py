@@ -2134,6 +2134,85 @@ def html_link_extract(spark, sf):
     )
 
 
+# The composite frontier-prep chain, end to end: page HTML -> link
+# extraction -> relative resolution -> canonicalization -> RFC-9309
+# robots gate -> Bloom-gated exact seen-set anti-join -> sampling-free
+# per-host rank -> per-host cap.  The oracle re-derives every stage
+# analytically: link1 (/p/<doc> on the doc's own host) survives iff the
+# host is a star-group host (podbot hosts disallow /p) and the doc is
+# not in the seen set (doc%4==0 seeds it); link2 (/a/x/<doc%10> on host
+# (doc+7)%20, only 20 distinct URLs corpus-wide — the dedup is real)
+# survives iff the TARGET host is a podbot host (its podbot group has
+# no /a rule; star hosts hit the longest-match /a/x disallow).  The
+# rank key is an order-aligned surrogate in the hash slot (u5's trick:
+# any monotone long keeps hash_bucketed_host_rank's bucket order).
+@q(
+    "frontier_prep_pipeline",
+    "WITH url1 AS (SELECT 'https://h' || (doc_id % 20) || '.example/p/' || doc_id"
+    "  AS fetch_url, doc_id % 20 AS h, doc_id AS k FROM documents"
+    "  WHERE (doc_id % 20) % 3 <> 0 AND doc_id % 4 <> 0),"
+    " url2 AS (SELECT DISTINCT 'https://h' || ((doc_id + 7) % 20)"
+    "  || '.example/a/x/' || (doc_id % 10) AS fetch_url,"
+    "  (doc_id + 7) % 20 AS h, doc_id % 10 AS k FROM documents"
+    "  WHERE ((doc_id + 7) % 20) % 3 = 0),"
+    " cand AS (SELECT * FROM url1 UNION SELECT * FROM url2),"
+    " r AS (SELECT 'h' || h || '.example' AS host, fetch_url,"
+    "  ROW_NUMBER() OVER (PARTITION BY h ORDER BY k, fetch_url) AS rn FROM cand)"
+    " SELECT host, fetch_url, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3",
+)
+def frontier_prep_pipeline(spark, sf):
+    """Full frontier preparation as ONE lazy plan over the real
+    operators (extract_hrefs/resolve_href/canonicalize_url ->
+    robots_gate -> bloom_gated_anti_join -> hash_bucketed_host_rank)."""
+    from .operators.bloom import bloom_gated_anti_join, build_bloom_shards
+    from .operators.politeness import hash_bucketed_host_rank
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(20))
+    base = F.concat(
+        F.lit("https://h"), m.cast("string"), F.lit(".example/dir/idx"), did,
+        F.lit(".html"),
+    )
+    o = F.pmod(F.col("doc_id") + 7, F.lit(20))
+    html = F.concat(
+        F.lit('<p><a href="/p/'), did,
+        F.lit('">x</a><a href="https://h'), o.cast("string"),
+        F.lit(".example/a/x/"), F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.lit('">y</a><a href="#skip">n</a></p>'),
+    )
+    pages = d.select(base.alias("_base"), U.extract_hrefs(html).alias("_h"))
+    cand = (
+        pages.select(F.explode("_h").alias("_raw"), "_base")
+        .select(
+            U.canonicalize_url(
+                U.resolve_href(F.col("_raw"), F.col("_base"))
+            ).alias("fetch_url")
+        )
+        .distinct()
+    )
+    allowed = RB.robots_gate(cand, RB.parse_robots_rules(_robots_corpus(spark, sf)), "podbot")
+    seen = d.where(F.pmod("doc_id", F.lit(4)) == 0).select(
+        F.concat(
+            F.lit("https://h"), m.cast("string"), F.lit(".example/p/"), did
+        ).alias("fetch_url")
+    )
+    bloom = build_bloom_shards(seen, "fetch_url", n_shards=8, m_bits=1 << 15, k=5)
+    fresh = bloom_gated_anti_join(allowed, seen, bloom, "fetch_url")
+    f = fresh.select(
+        "fetch_url",
+        U.host_of(F.col("fetch_url")).alias("host"),
+        F.lit(0).alias("priority"),
+        F.shiftleft(
+            F.regexp_extract("fetch_url", r"([0-9]+)$", 1).cast("long"), 40
+        ).alias("_uh"),
+    )
+    ranked = hash_bucketed_host_rank(f, "host", "priority", "_uh", "fetch_url", out_col="rn")
+    return ranked.where(F.col("rn") <= 3).select(
+        "host", "fetch_url", F.col("rn").cast("long").alias("rn")
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
