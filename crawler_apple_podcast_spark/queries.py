@@ -2213,6 +2213,53 @@ def frontier_prep_pipeline(spark, sf):
     )
 
 
+# Boilerplate line removal (CCNet/RefinedWeb line-level dedup).  The
+# demo corpus wraps each real document in synthetic host chrome: a nav
+# line every page on the host shares (df=100%, removed at 600‰), a
+# footer that 70% of the host's pages carry ('(c) hN', removed) or a
+# promo line on the other 30% (kept), around the page-unique prose
+# (kept).  The oracle runs the identical line-df algorithm in SQL.
+@q(
+    "text_boilerplate_strip",
+    "WITH base AS (SELECT doc_id, 'h' || (doc_id % 7) AS host,"
+    "  'NAV MENU h' || (doc_id % 7) || chr(10) || text || chr(10) ||"
+    "  CASE WHEN doc_id % 10 < 7 THEN '(c) h' || (doc_id % 7)"
+    "       ELSE 'promo h' || (doc_id % 7) END AS t FROM documents),"
+    " lines AS (SELECT doc_id, host, u.pos AS pos, u.ln AS ln FROM ("
+    "  SELECT doc_id, host, unnest(list_transform(string_split(t, chr(10)),"
+    "   (x, i) -> {'pos': i, 'ln': x})) AS u FROM base) s),"
+    " ldf AS (SELECT host, ln, COUNT(DISTINCT doc_id) AS df_ FROM lines"
+    "  GROUP BY host, ln),"
+    " n AS (SELECT host, COUNT(*) AS nd FROM base GROUP BY host),"
+    " freq AS (SELECT ldf.host, ldf.ln FROM ldf JOIN n USING (host)"
+    "  WHERE ldf.df_ * 1000 >= 600 * n.nd)"
+    " SELECT l.doc_id,"
+    "  COALESCE(string_agg(CASE WHEN f.ln IS NULL THEN l.ln END,"
+    "   chr(10) ORDER BY l.pos), '') AS clean_text,"
+    "  COUNT(*) AS n_lines, CAST(COUNT(f.ln) AS BIGINT) AS removed"
+    " FROM lines l LEFT JOIN freq f ON l.host = f.host AND l.ln = f.ln"
+    " GROUP BY l.doc_id",
+)
+def text_boilerplate_strip(spark, sf):
+    """CCNet-style per-host boilerplate line removal
+    (operators/boilerplate.py) over host-chromed documents."""
+    from .operators.boilerplate import strip_boilerplate_lines
+
+    d = _t(spark, sf, "documents")
+    h = F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string"))
+    footer = F.when(
+        F.pmod("doc_id", F.lit(10)) < 7, F.concat(F.lit("(c) "), h)
+    ).otherwise(F.concat(F.lit("promo "), h))
+    demo = d.select(
+        "doc_id",
+        h.alias("host"),
+        F.concat(
+            F.lit("NAV MENU "), h, F.lit("\n"), F.col("text"), F.lit("\n"), footer
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(demo, threshold_milli=600)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
