@@ -2260,6 +2260,41 @@ def text_boilerplate_strip(spark, sf):
     return strip_boilerplate_lines(demo, threshold_milli=600)
 
 
+# WARC ingest + CDX index.  Spark path: synthesize real concatenated
+# WARC bytes from documents (sources/warc.py), parse them back with the
+# Content-Length-driven sequential scanner in mapInPandas, emit the
+# random-access index.  The oracle never parses: it reconstructs each
+# record string, takes octet_length, and derives offsets analytically
+# with a window sum — so a parser off-by-one anywhere (magic, header
+# CRLFs, trailer) breaks the hash match.
+@q(
+    "warc_cdx_index",
+    "WITH c AS (SELECT chr(13) || chr(10) AS lf),"
+    " r AS (SELECT doc_id, doc_id % 8 AS file_id,"
+    "  'https://h' || (doc_id % 20) || '.example/p/' || doc_id AS target_uri,"
+    "  CAST(strlen(text) AS BIGINT) AS content_length,"
+    "  md5(text) AS payload_md5,"
+    "  'WARC/1.0' || lf || 'WARC-Type: response' || lf"
+    "   || 'WARC-Target-URI: https://h' || (doc_id % 20) || '.example/p/'"
+    "   || doc_id || lf || 'Content-Length: '"
+    "   || CAST(strlen(text) AS VARCHAR) || lf || lf || text || lf || lf"
+    "   AS rec FROM documents, c)"
+    " SELECT target_uri, file_id,"
+    "  CAST(COALESCE(SUM(strlen(rec)) OVER (PARTITION BY file_id"
+    "   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+    "   0) AS BIGINT) AS rec_offset,"
+    "  CAST(strlen(rec) AS BIGINT) AS rec_length,"
+    "  content_length, payload_md5 FROM r",
+)
+def warc_cdx_index(spark, sf):
+    """WARC bytes -> sequential record parse -> CDX index
+    (sources/warc.py)."""
+    from .sources.warc import cdx_index, parse_warc_records, synth_warc_files
+
+    files = synth_warc_files(_t(spark, sf, "documents"), n_files=8)
+    return cdx_index(parse_warc_records(files))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
