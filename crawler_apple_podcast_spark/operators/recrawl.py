@@ -1,0 +1,90 @@
+"""Adaptive recrawl scheduling from observed change rates.
+
+A crawler that refetches everything at one cadence wastes its budget
+on static pages and goes stale on fast-moving ones.  The classic fix
+(Cho & Garcia-Molina, "Effective Page Refresh Policies") estimates a
+per-URL change rate from fetch history and spaces revisits inversely
+to it.  The reference crawls once and never revisits
+(/root/reference/main.py — single pass over seeds); revisit policy is
+pure engine-side addition.
+
+Spark shape: ONE shuffle on the URL.  The adjacent-fetch change flag
+is a ``lag`` window over ``(url, wave)``; the per-URL aggregate that
+follows groups by the same key, so Catalyst reuses the window's hash
+partitioning instead of shuffling again (visible in the plan: a
+single Exchange).  Integer-exact throughout — the change ratio is
+per-mille with floor division, the interval a linear blend of
+``min/max_interval`` — so the DuckDB oracle byte-matches.
+
+Policy: ``next_interval = max_iv - ((max_iv - min_iv) * change_milli)
+div 1000`` — a never-changing page waits ``max_iv`` waves, an
+every-fetch-changing one ``min_iv``.  A URL seen once has no observed
+rate; it gets ``min_iv`` (crawl aggressively until we know better)
+and ``change_milli`` NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def revisit_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    wave_col: str = "wave",
+    fp_col: str = "fingerprint",
+    min_interval: int = 1,
+    max_interval: int = 16,
+) -> DataFrame:
+    """``(url, n_obs, n_changes, change_milli, next_interval,
+    next_due)`` from a fetch log of ``(url, wave, fingerprint)``.
+
+    ``n_changes`` counts adjacent fetches whose fingerprint differs;
+    ``change_milli = 1000 * n_changes div (n_obs - 1)``;
+    ``next_due = last_wave + next_interval``.
+    """
+    if not 0 < min_interval <= max_interval:
+        raise ValueError("need 0 < min_interval <= max_interval")
+    w = Window.partitionBy(url_col).orderBy(wave_col)
+    flagged = history.select(
+        url_col,
+        wave_col,
+        F.when(F.lag(fp_col).over(w).isNull(), None)
+        .when(F.lag(fp_col).over(w) != F.col(fp_col), 1)
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    agg = flagged.groupBy(url_col).agg(
+        F.count("*").alias("n_obs"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).alias("n_changes"),
+        F.max(wave_col).alias("_last"),
+    )
+    change_milli = F.when(
+        F.col("n_obs") > 1,
+        F.expr("(1000 * n_changes) div (n_obs - 1)"),
+    )
+    span = max_interval - min_interval
+    next_interval = F.coalesce(
+        F.lit(max_interval) - F.expr(f"({span} * change_milli) div 1000"),
+        F.lit(min_interval),
+    )
+    return (
+        agg.withColumn("change_milli", change_milli)
+        .withColumn("next_interval", next_interval.cast("long"))
+        .withColumn("next_due", (F.col("_last") + F.col("next_interval")).cast("long"))
+        .select(
+            url_col, "n_obs", "n_changes", "change_milli",
+            "next_interval", "next_due",
+        )
+    )
+
+
+def due_frontier(
+    schedule: DataFrame, current_wave: int, url_col: str = "url"
+) -> DataFrame:
+    """URLs whose revisit is due at ``current_wave`` — the recrawl
+    slice of the frontier (a map-side filter; no shuffle)."""
+    return schedule.where(F.col("next_due") <= current_wave).select(
+        url_col, "next_due"
+    )

@@ -2295,6 +2295,51 @@ def warc_cdx_index(spark, sf):
     return cdx_index(parse_warc_records(files))
 
 
+# Adaptive recrawl scheduling (operators/recrawl.py).  Synthetic fetch
+# history: doc_id%5+1 observations per URL (the %5==0 docs exercise the
+# single-observation NULL-rate path), fingerprint (wave*(doc_id%5))div 4
+# so per-URL change rates span never/sometimes/always.  Oracle replays
+# the lag-window change count and the integer interval blend.
+@q(
+    "crawl_revisit_schedule",
+    "WITH h0 AS (SELECT doc_id,"
+    "  unnest(generate_series(0, doc_id % 5)) AS wave FROM documents),"
+    " h AS (SELECT 'https://h' || (doc_id % 20) || '.example/p/' || doc_id"
+    "   AS url, wave, (wave * (doc_id % 5)) // 4 AS fp FROM h0),"
+    " f AS (SELECT url, wave, fp,"
+    "   lag(fp) OVER (PARTITION BY url ORDER BY wave) AS pfp FROM h),"
+    " a AS (SELECT url, COUNT(*) AS n_obs,"
+    "   CAST(SUM(CASE WHEN pfp IS NOT NULL AND pfp <> fp THEN 1 ELSE 0 END)"
+    "    AS BIGINT) AS n_changes, MAX(wave) AS lastw FROM f GROUP BY url)"
+    " SELECT url, n_obs, n_changes,"
+    "  COALESCE(CASE WHEN n_obs > 1 THEN (1000 * n_changes) // (n_obs - 1)"
+    "   END, -1) AS change_milli,"
+    "  CAST(CASE WHEN n_obs > 1 THEN 16 - (15 * ((1000 * n_changes)"
+    "   // (n_obs - 1))) // 1000 ELSE 1 END AS BIGINT) AS next_interval,"
+    "  CAST(lastw + (CASE WHEN n_obs > 1 THEN 16 - (15 * ((1000 * n_changes)"
+    "   // (n_obs - 1))) // 1000 ELSE 1 END) AS BIGINT) AS next_due FROM a",
+)
+def crawl_revisit_schedule(spark, sf):
+    """Change-rate-adaptive revisit intervals over a synthetic fetch
+    log (operators/recrawl.py:revisit_schedule)."""
+    from .operators.recrawl import revisit_schedule
+
+    d = _t(spark, sf, "documents")
+    hist = d.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(F.sequence(F.lit(0), F.pmod("doc_id", F.lit(5)))).alias("wave"),
+        F.pmod("doc_id", F.lit(5)).alias("_m"),
+    ).select("url", "wave", F.expr("(wave * _m) div 4").alias("fingerprint"))
+    out = revisit_schedule(hist, min_interval=1, max_interval=16)
+    # -1 sentinel for "no observed rate" so the oracle compare sorts
+    return out.withColumn(
+        "change_milli", F.coalesce("change_milli", F.lit(-1).cast("long"))
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
