@@ -80,6 +80,36 @@ def revisit_schedule(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """``(url, status)`` between two crawl snapshots of
+    ``(url, fingerprint)``: ``new`` (only in new), ``gone`` (only in
+    old), ``changed`` (fingerprint differs), ``same``.
+
+    One full-outer shuffle join on the URL; the fingerprints are the
+    only payload carried, so the shuffle stays ~24 B/row however wide
+    the snapshots' source tables are.  Feeds ``revisit_schedule``
+    (diff streams are its fetch-log increments) and incremental
+    re-extraction (only ``new``/``changed`` re-enter the pipeline).
+    """
+    o = old.select(F.col(url_col).alias("_u"), F.col(fp_col).alias("_fo"))
+    n = new.select(F.col(url_col).alias("_v"), F.col(fp_col).alias("_fn"))
+    j = o.join(n, o["_u"] == n["_v"], "full_outer")
+    status = (
+        F.when(F.col("_u").isNull(), "new")
+        .when(F.col("_v").isNull(), "gone")
+        .when(F.col("_fo") != F.col("_fn"), "changed")
+        .otherwise("same")
+    )
+    return j.select(
+        F.coalesce("_u", "_v").alias(url_col), status.alias("status")
+    )
+
+
 def due_frontier(
     schedule: DataFrame, current_wave: int, url_col: str = "url"
 ) -> DataFrame:

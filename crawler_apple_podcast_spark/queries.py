@@ -2340,6 +2340,46 @@ def crawl_revisit_schedule(spark, sf):
     )
 
 
+# Crawl snapshot diff: wave N vs wave N+1 membership/fingerprint
+# compare.  %11==0 docs are absent from the old snapshot ("new"),
+# %7==0 absent from the new one ("gone"), %3==0 get a bumped
+# fingerprint ("changed"), the rest "same".  Overlapping residues
+# (e.g. doc 21: %7 and %3) keep the precedence honest: membership
+# beats fingerprint.
+@q(
+    "crawl_snapshot_diff",
+    "WITH o AS (SELECT 'https://h' || (doc_id % 20) || '.example/p/' || doc_id"
+    "   AS url, doc_id // 5 AS fp FROM documents WHERE doc_id % 11 <> 0),"
+    " n AS (SELECT 'https://h' || (doc_id % 20) || '.example/p/' || doc_id"
+    "   AS url, doc_id // 5 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"
+    "   AS fp FROM documents WHERE doc_id % 7 <> 0)"
+    " SELECT COALESCE(o.url, n.url) AS url,"
+    "  CASE WHEN o.url IS NULL THEN 'new' WHEN n.url IS NULL THEN 'gone'"
+    "   WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status"
+    " FROM o FULL OUTER JOIN n ON o.url = n.url",
+)
+def crawl_snapshot_diff(spark, sf):
+    """Two-snapshot URL diff (operators/recrawl.py:snapshot_diff)."""
+    from .operators.recrawl import snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    )
+    old = d.where(F.pmod("doc_id", F.lit(11)) != 0).select(
+        url.alias("url"), F.expr("doc_id div 5").alias("fingerprint")
+    )
+    new = d.where(F.pmod("doc_id", F.lit(7)) != 0).select(
+        url.alias("url"),
+        (
+            F.expr("doc_id div 5")
+            + F.when(F.pmod("doc_id", F.lit(3)) == 0, 1).otherwise(0)
+        ).alias("fingerprint"),
+    )
+    return snapshot_diff(old, new)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -58,3 +58,16 @@ def test_due_frontier(spark, history):
         "u_hot", "u_once", "u_half"
     }
     assert {r.url for r in due_frontier(sched, 3).collect()} == set()
+
+
+def test_snapshot_diff_statuses(spark):
+    from crawler_apple_podcast_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, fingerprint long"
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("d", 4)], "url string, fingerprint long"
+    )
+    out = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {"a": "same", "b": "changed", "c": "gone", "d": "new"}
