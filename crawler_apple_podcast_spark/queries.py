@@ -2380,6 +2380,36 @@ def crawl_snapshot_diff(spark, sf):
     return snapshot_diff(old, new)
 
 
+# Largest-remainder crawl-budget apportionment over per-host byte
+# totals (operators/budget.py).  sum(alloc) == 10000 exactly; the
+# oracle ranks remainders with a plain window (fine at 23 hosts), the
+# Spark side uses the distributed value-bucket rank.
+@q(
+    "crawl_budget_apportion",
+    "WITH s AS (SELECT 'h' || (doc_id % 23) AS host,"
+    "  CAST(SUM(n_chars) AS BIGINT) AS score FROM documents GROUP BY 1),"
+    " t AS (SELECT SUM(score) AS sc FROM s),"
+    " q AS (SELECT host, score, (score * 10000) // sc AS base,"
+    "  (score * 10000) % sc AS rem FROM s, t),"
+    " l AS (SELECT 10000 - SUM(base) AS leftover FROM q),"
+    " r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM q)"
+    " SELECT host, score, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0"
+    "  END AS BIGINT) AS alloc FROM r, l",
+)
+def crawl_budget_apportion(spark, sf):
+    """Hamilton apportionment of a 10k-fetch wave budget across hosts
+    scored by total bytes (operators/budget.py:apportion_budget)."""
+    from .operators.budget import apportion_budget
+
+    d = _t(spark, sf, "documents")
+    s = d.groupBy(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(23)).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.sum("n_chars").cast("long").alias("score"))
+    return apportion_budget(s, total=10_000)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
