@@ -172,6 +172,34 @@ def extract_hrefs(html: Column) -> Column:
     )
 
 
+_ANCHOR_PAT = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+
+def extract_anchors(html: Column) -> Column:
+    """``array<struct<href,anchor>>`` for double-quoted ``<a>`` tags
+    whose inner text is plain (no nested markup — group 2 is
+    ``[^<]*``, RE2-safe like ``extract_hrefs``; a nested-markup anchor
+    extracts as the empty string and is filtered with the scheme
+    noise).  One codegen regexp pass + per-match group extraction."""
+    full = F.regexp_extract_all(html, F.lit(_ANCHOR_PAT), F.lit(0))
+    pairs = F.transform(
+        full,
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_PAT, 1).alias("href"),
+            F.regexp_extract(m, _ANCHOR_PAT, 2).alias("anchor"),
+        ),
+    )
+    return F.filter(
+        pairs,
+        lambda p: (F.length(p["href"]) > 0)
+        & (F.length(p["anchor"]) > 0)
+        & ~p["href"].startswith("#")
+        & ~p["href"].startswith("javascript:")
+        & ~p["href"].startswith("mailto:")
+        & ~p["href"].startswith("tel:"),
+    )
+
+
 def resolve_href(href: Column, base_url: Column) -> Column:
     """Resolve an extracted href against the page URL, codegen-only:
     absolute stays; ``//h/p`` takes the base scheme; ``/p`` takes the

@@ -27,7 +27,7 @@ the crawl wave loop (``plans/wave_loop.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -174,4 +174,37 @@ def dedup_components(
     representative and are not emitted."""
     return connected_components(pairs, src_col, dst_col).select(
         F.col("id").alias("doc_id"), "component"
+    )
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    page_col: str = "page_url",
+    target_col: str = "target_url",
+    anchor_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` anchor texts per link target:
+    ``(target_url, anchor, n_pages, rk)``.
+
+    Anchor text is the classic off-page relevance/quality signal (it
+    describes the TARGET, written by the linker); a corpus engine
+    aggregates it per target URL for ranking, title recovery, and
+    spam triage.  A page voting twice for the same (target, anchor)
+    counts once — ``distinct`` over (page, target, anchor) BEFORE the
+    count, so the heavy shuffle carries deduplicated triples; the
+    per-target top-k window is partitioned by target (distributed),
+    never global.  Tie-break: count desc, anchor asc.
+    """
+    triples = links.select(page_col, target_col, anchor_col).distinct()
+    counts = triples.groupBy(target_col, anchor_col).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    w = Window.partitionBy(target_col).orderBy(
+        F.desc("n_pages"), F.asc(anchor_col)
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(target_col, anchor_col, "n_pages", "rk")
     )

@@ -2410,6 +2410,58 @@ def crawl_budget_apportion(spark, sf):
     return apportion_budget(s, total=10_000)
 
 
+# Anchor-text aggregation (operators/graph.py:anchor_text_agg) over
+# links parsed from synthetic HTML with functions/urls.py:
+# extract_anchors.  Each page votes one on-host /p link (anchor 'show
+# N', 50 targets/host -> sharp counts) and one cross-host hub link
+# whose anchor varies mod 7 against a target mod 10 (multiple anchors
+# per target -> the top-3 window is exercised); a fragment link and a
+# nested-markup anchor must be dropped by extraction.  The oracle
+# never parses HTML — it rebuilds the link table from doc_id
+# arithmetic.
+@q(
+    "anchor_text_topk",
+    "WITH l AS (SELECT doc_id, 'https://h' || (doc_id % 20)"
+    "   || '.example/p/' || (doc_id % 50) AS t,"
+    "   'show ' || (doc_id % 50) AS a FROM documents"
+    "  UNION ALL SELECT doc_id, 'https://hub.example/t/' || (doc_id % 10),"
+    "   'topic ' || (doc_id % 7) FROM documents),"
+    " c AS (SELECT t AS target_url, a AS anchor, COUNT(*) AS n_pages"
+    "  FROM l GROUP BY 1, 2),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY target_url"
+    "  ORDER BY n_pages DESC, anchor) AS rk FROM c)"
+    " SELECT target_url, anchor, n_pages, CAST(rk AS BIGINT) AS rk"
+    " FROM r WHERE rk <= 3",
+)
+def anchor_text_topk(spark, sf):
+    """HTML -> (href, anchor) extraction -> resolution -> per-target
+    top-3 anchor texts."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    m20 = F.pmod("doc_id", F.lit(20)).cast("string")
+    page = F.concat(
+        F.lit("https://h"), m20, F.lit(".example/dir/idx"), did, F.lit(".html")
+    )
+    html = F.concat(
+        F.lit('<p><a href="/p/'), F.pmod("doc_id", F.lit(50)).cast("string"),
+        F.lit('">show '), F.pmod("doc_id", F.lit(50)).cast("string"),
+        F.lit('</a><a href="https://hub.example/t/'),
+        F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.lit('">topic '), F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit('</a><a href="#x">skip</a>'),
+        F.lit('<a href="/n/1"><b>nested</b></a></p>'),
+    )
+    links = (
+        d.select(page.alias("page_url"), F.explode(U.extract_anchors(html)).alias("_p"))
+        .select(
+            "page_url",
+            U.resolve_href(F.col("_p.href"), F.col("page_url")).alias("target_url"),
+            F.col("_p.anchor").alias("anchor"),
+        )
+    )
+    return G.anchor_text_agg(links, "page_url", "target_url", "anchor", k=3)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

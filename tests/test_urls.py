@@ -244,3 +244,37 @@ def test_resolve_href_matches_urljoin(spark, href, base_dirs):
     df = spark.createDataFrame([(href, base)], "href string, base string")
     got = df.select(U.resolve_href(F.col("href"), F.col("base")).alias("g")).first().g
     assert got == urljoin(base, href), (href, base)
+
+
+def test_extract_anchors_pairs_and_filters(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_apple_podcast_spark.functions import urls as U
+
+    html = (
+        '<a href="/a">first</a> txt <a class="x" href="/b" id="y">second one</a>'
+        '<a href="#frag">no</a><a href="javascript:void(0)">no</a>'
+        '<a href="/c"><b>nested markup drops</b></a>'
+        "<a href='/sq'>single-quote style not extracted here</a>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    [row] = df.select(U.extract_anchors(F.col("h")).alias("a")).collect()
+    assert [(p.href, p.anchor) for p in row.a] == [
+        ("/a", "first"),
+        ("/b", "second one"),
+    ]
+
+
+def test_anchor_text_agg_dedupes_per_page(spark):
+    from crawler_apple_podcast_spark.operators.graph import anchor_text_agg
+
+    links = spark.createDataFrame(
+        # p1 votes (t, "x") twice -> counts once; three anchors on t
+        [("p1", "t", "x"), ("p1", "t", "x"), ("p2", "t", "x"),
+         ("p1", "t", "y"), ("p2", "t", "z"), ("p3", "t", "z")],
+        "page_url string, target_url string, anchor string",
+    )
+    rows = anchor_text_agg(links, k=2).collect()
+    assert [(r.anchor, r.n_pages, r.rk) for r in sorted(rows, key=lambda r: r.rk)] == [
+        ("x", 2, 1), ("z", 2, 2)  # tie on 2 -> anchor asc; y (1) cut by k=2
+    ]
