@@ -73,6 +73,13 @@ HEADLINE = [
     "pack_sequences",
     "text_tfidf_topk",
     "graph_pagerank",
+    # round-4 late additions: WARC ingest (Arrow-batched sequential
+    # record parse, the crawl-native storage format), CCNet-style
+    # boilerplate line removal (line-df shuffle), and change-rate
+    # revisit scheduling (single-Exchange window+agg)
+    "warc_cdx_index",
+    "text_boilerplate_strip",
+    "crawl_revisit_schedule",
 ]
 
 

@@ -34,8 +34,50 @@ DuckDB oracle byte-matches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def dedup_paragraphs_global(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-GLOBAL exact paragraph dedup, keep-first:
+    ``(id_col, clean_text, n_paras, removed)``.
+
+    RefinedWeb-style: every repeated paragraph survives only at its
+    first occurrence (smallest ``(doc_id, pos)``); later copies are
+    dropped wherever they appear, across hosts.  Complements
+    ``strip_boilerplate_lines`` (per-host, threshold) — this one kills
+    corpus-wide syndication and quote chains at any frequency >= 2.
+
+    Spark shape: ``posexplode`` (map-side) -> keep-first via
+    ``row_number`` over a window partitioned by ``(xxhash64(para),
+    para)`` ordered by ``(doc, pos)`` — the hash prefix keeps the
+    comparator cheap, the full string in the key makes the result
+    collision-proof; the window IS the one paragraph-keyed shuffle ->
+    rebuild with a doc-keyed ``collect_list``/``array_sort``.  Two
+    shuffles total, both map-side combinable-free but carrying each
+    paragraph exactly once.
+    """
+    paras = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_p"),
+    )
+    w = Window.partitionBy(F.xxhash64("_p"), F.col("_p")).orderBy(id_col, "_pos")
+    flagged = paras.withColumn("_rn", F.row_number().over(w))
+    kept = F.when(F.col("_rn") == 1, F.struct("_pos", "_p"))
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["_p"]),
+        ).alias("clean_text"),
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("removed"),
+    )
 
 
 def strip_boilerplate_lines(

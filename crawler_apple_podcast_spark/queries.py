@@ -2270,7 +2270,7 @@ def text_boilerplate_strip(spark, sf):
 @q(
     "warc_cdx_index",
     "WITH c AS (SELECT chr(13) || chr(10) AS lf),"
-    " r AS (SELECT doc_id, doc_id % 8 AS file_id,"
+    " r AS (SELECT doc_id, doc_id % 32 AS file_id,"
     "  'https://h' || (doc_id % 20) || '.example/p/' || doc_id AS target_uri,"
     "  CAST(strlen(text) AS BIGINT) AS content_length,"
     "  md5(text) AS payload_md5,"
@@ -2291,7 +2291,7 @@ def warc_cdx_index(spark, sf):
     (sources/warc.py)."""
     from .sources.warc import cdx_index, parse_warc_records, synth_warc_files
 
-    files = synth_warc_files(_t(spark, sf, "documents"), n_files=8)
+    files = synth_warc_files(_t(spark, sf, "documents"), n_files=32)
     return cdx_index(parse_warc_records(files))
 
 
@@ -2460,6 +2460,43 @@ def anchor_text_topk(spark, sf):
         )
     )
     return G.anchor_text_agg(links, "page_url", "target_url", "anchor", k=3)
+
+
+# Corpus-global keep-first paragraph dedup
+# (operators/boilerplate.py:dedup_paragraphs_global).  Every doc gets a
+# syndicated wire paragraph shared by its doc_id%25 class (survives
+# only at the class's min doc_id), its unique prose, and one
+# corpus-global footer (survives only in doc 0).
+@q(
+    "dedup_paragraphs_global",
+    "WITH base AS (SELECT doc_id, 'SYNDICATED wire item ' || (doc_id % 25)"
+    "  || chr(10) || text || chr(10) || 'SHARE like subscribe' AS t"
+    "  FROM documents),"
+    " p AS (SELECT doc_id, u.pos AS pos, u.p AS p FROM (SELECT doc_id,"
+    "  unnest(list_transform(string_split(t, chr(10)),"
+    "  (x, i) -> {'pos': i, 'p': x})) AS u FROM base) s),"
+    " f AS (SELECT doc_id, pos, p, row_number() OVER (PARTITION BY p"
+    "  ORDER BY doc_id, pos) AS rn FROM p)"
+    " SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN p END,"
+    "  chr(10) ORDER BY pos), '') AS clean_text, COUNT(*) AS n_paras,"
+    "  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed"
+    " FROM f GROUP BY doc_id",
+)
+def dedup_paragraphs_global_q(spark, sf):
+    """Global exact paragraph dedup, keep-first occurrence."""
+    from .operators.boilerplate import dedup_paragraphs_global
+
+    d = _t(spark, sf, "documents")
+    demo = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("SYNDICATED wire item "),
+            F.pmod("doc_id", F.lit(25)).cast("string"),
+            F.lit("\n"), F.col("text"), F.lit("\n"),
+            F.lit("SHARE like subscribe"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs_global(demo)
 
 
 # ------------------------------------------------------------- accessors

@@ -54,3 +54,36 @@ def test_strip_boilerplate_order_preserved(spark):
     # nothing reaches 90% df with disjoint lines -> original order kept
     assert out[1]["clean_text"] == "z\na\nm"
     assert out[2]["clean_text"] == "q\nb"
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from crawler_apple_podcast_spark.operators.boilerplate import (
+        dedup_paragraphs_global,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup\nuniq1"),
+            (2, "uniq2\ndup"),       # dup first seen at (1,0) -> removed here
+            (3, "dup\ndup\nuniq3"),  # both copies removed
+            (4, "dup"),              # whole doc boilerplate -> ''
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs_global(docs).collect()}
+    assert out[1].clean_text == "dup\nuniq1" and out[1].removed == 0
+    assert out[2].clean_text == "uniq2" and out[2].removed == 1
+    assert out[3].clean_text == "uniq3" and out[3].removed == 2
+    assert (out[4].clean_text, out[4].n_paras, out[4].removed) == ("", 1, 1)
+
+
+def test_paragraph_dedup_in_doc_repeat_keeps_first_position(spark):
+    from crawler_apple_podcast_spark.operators.boilerplate import (
+        dedup_paragraphs_global,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\nc\na")], "doc_id int, text string"
+    )
+    [r] = dedup_paragraphs_global(docs).collect()
+    assert r.clean_text == "a\nb\nc" and r.removed == 2
