@@ -2499,6 +2499,32 @@ def dedup_paragraphs_global_q(spark, sf):
     return dedup_paragraphs_global(demo)
 
 
+# Integer bigram-LM fluency score (operators/lm.py) — the CCNet
+# perplexity-ranking analog with corpus-trained counts and per-mille
+# floor arithmetic.
+@q(
+    "text_lm_bigram_score",
+    "WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+    "  x -> x <> '') AS t FROM documents),"
+    " bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM (SELECT doc_id,"
+    "  t, unnest(generate_series(1, len(t) - 1)) AS i FROM tk"
+    "  WHERE len(t) >= 2) s),"
+    " c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),"
+    " c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),"
+    " sc AS (SELECT bg.doc_id, SUM((1000 * n2) // n1) AS s, COUNT(*) AS nb"
+    "  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1)"
+    " SELECT tk.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,"
+    "  CAST(COALESCE(s // nb, -1) AS BIGINT) AS score_milli"
+    " FROM tk LEFT JOIN sc ON tk.doc_id = sc.doc_id",
+)
+def text_lm_bigram_score(spark, sf):
+    """Mean bigram continuation probability per doc (integer CCNet
+    perplexity analog)."""
+    from .operators.lm import bigram_continuation_score
+
+    return bigram_continuation_score(_t(spark, sf, "documents"))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
