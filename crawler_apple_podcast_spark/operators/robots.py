@@ -194,3 +194,33 @@ def robots_gate(
     if keep_decision:
         return agg.select(*keys, allowed.alias("allowed"))
     return agg.where(allowed).select(*keys)
+
+
+_SITEMAP_RE = r"(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
+
+
+def extract_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``(host, sitemap_url, line_no)`` from ``Sitemap:`` directives.
+
+    Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap`` lines are
+    HOST-GLOBAL — valid anywhere in the file, NOT part of any
+    user-agent group — so this is a separate single-pass extraction,
+    deliberately not routed through ``parse_robots_rules`` (whose
+    directive grammar is user-agent/allow/disallow only).  Feeds
+    ``functions/urls.py`` sitemap ingestion: discovery -> fetch ->
+    ``<loc>`` extraction closes the crawler's seed loop.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("line_no", "line"),
+    )
+    return (
+        lines.select(
+            "host",
+            F.regexp_extract("line", _SITEMAP_RE, 1).alias("sitemap_url"),
+            F.col("line_no").cast("long").alias("line_no"),
+        )
+        .where(F.length("sitemap_url") > 0)
+    )

@@ -2525,6 +2525,100 @@ def text_lm_bigram_score(spark, sf):
     return bigram_continuation_score(_t(spark, sf, "documents"))
 
 
+# Sitemap discovery from robots.txt Sitemap: directives
+# (operators/robots.py:extract_sitemap_urls) — host-global lines, not
+# group rules; the lowercase/no-space variant checks parser laxity.
+@q(
+    "robots_sitemap_discovery",
+    "WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h FROM documents)"
+    " SELECT 'h' || h || '.example' AS host,"
+    "  'https://h' || h || '.example/sitemap.xml' AS sitemap_url,"
+    "  CAST(2 AS BIGINT) AS line_no FROM hosts WHERE h % 2 = 0"
+    " UNION ALL SELECT 'h' || h || '.example',"
+    "  'https://cdn.example/sm/' || h || '.xml', 3 FROM hosts WHERE h % 4 = 0",
+)
+def robots_sitemap_discovery(spark, sf):
+    """Sitemap: directive extraction from a robots corpus."""
+    d = _t(spark, sf, "documents")
+    hosts = d.select(F.pmod("doc_id", F.lit(20)).alias("h")).distinct()
+    hs = F.col("h").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.when(
+            F.pmod("h", F.lit(2)) == 0,
+            F.concat(
+                F.lit("Sitemap: https://h"), hs, F.lit(".example/sitemap.xml\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod("h", F.lit(4)) == 0,
+            F.concat(F.lit("sitemap:https://cdn.example/sm/"), hs, F.lit(".xml")),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), hs, F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    return RB.extract_sitemap_urls(robots)
+
+
+# Spider-trap detection (operators/traps.py): a calendar template and
+# a session-grid query template share one fingerprint per host (traps);
+# the article template has 1:1 URL:content (clean) and also misses the
+# min_urls floor.
+@q(
+    "crawl_trap_detect",
+    "WITH u AS (SELECT 'h' || (doc_id % 5) || '.example' AS host,"
+    "  '/cal/{N}/{N}' AS template, 'https://h' || (doc_id % 5)"
+    "   || '.example/cal/2024/' || doc_id AS url, doc_id % 5 AS fp"
+    "  FROM documents"
+    " UNION ALL SELECT 'h' || (doc_id % 5) || '.example', '/article/{N}',"
+    "  'https://h' || (doc_id % 5) || '.example/article/' || (doc_id % 50),"
+    "  doc_id % 50 FROM documents"
+    " UNION ALL SELECT 'h' || (doc_id % 5) || '.example',"
+    "  '/item?id={N}&page={N}', 'https://h' || (doc_id % 5)"
+    "   || '.example/item?id=' || doc_id || '&page=' || (doc_id % 7),"
+    "  doc_id % 5 FROM documents),"
+    " a AS (SELECT host, template, COUNT(DISTINCT url) AS n_urls,"
+    "  COUNT(DISTINCT fp) AS n_fps FROM u GROUP BY 1, 2)"
+    " SELECT host, template, n_urls, n_fps,"
+    "  (1000 * n_fps) // n_urls AS diversity_milli,"
+    "  CAST(CASE WHEN n_urls >= 20 AND (1000 * n_fps) // n_urls <= 200"
+    "   THEN 1 ELSE 0 END AS BIGINT) AS is_trap FROM a",
+)
+def crawl_trap_detect(spark, sf):
+    """URL-template trap mining over synthetic calendar/session/article
+    URL spaces."""
+    from .operators.traps import detect_url_traps
+
+    d = _t(spark, sf, "documents")
+    h = F.pmod("doc_id", F.lit(5)).cast("string")
+    did = F.col("doc_id").cast("string")
+    cal = d.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example/cal/2024/"), did
+        ).alias("url"),
+        F.pmod("doc_id", F.lit(5)).alias("fingerprint"),
+    )
+    art = d.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example/article/"),
+            F.pmod("doc_id", F.lit(50)).cast("string"),
+        ).alias("url"),
+        F.pmod("doc_id", F.lit(50)).alias("fingerprint"),
+    )
+    item = d.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example/item?id="), did,
+            F.lit("&page="), F.pmod("doc_id", F.lit(7)).cast("string"),
+        ).alias("url"),
+        F.pmod("doc_id", F.lit(5)).alias("fingerprint"),
+    )
+    pages = cal.unionByName(art).unionByName(item)
+    out = detect_url_traps(pages, min_urls=20, max_diversity_milli=200)
+    return out.withColumn("is_trap", F.col("is_trap").cast("long"))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -187,3 +187,34 @@ def test_gate_matches_referee(spark, pats, paths):
         assert got[f"https://h.example{p}"] is ref_allowed(triples, "anybot", p), (
             body, p
         )
+
+
+def test_extract_sitemap_urls(spark):
+    from crawler_apple_podcast_spark.operators.robots import extract_sitemap_urls
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example/sm.xml\n"
+        "sitemap:https://cdn.example/a.xml   \n"
+        "# Sitemap: https://commented.example/no.xml\n"
+        "SITEMAP: https://a.example/caps.xml"
+    )
+    df = spark.createDataFrame([("a.example", body)], "host string, body string")
+    rows = sorted(
+        (r.sitemap_url, r.line_no)
+        for r in extract_sitemap_urls(df).collect()
+    )
+    assert rows == [
+        ("https://a.example/caps.xml", 5),
+        ("https://a.example/sm.xml", 2),
+        ("https://cdn.example/a.xml", 3),
+    ]
+
+
+def test_sitemap_lines_do_not_leak_into_rules(spark):
+    from crawler_apple_podcast_spark.operators.robots import parse_robots_rules
+
+    body = "User-agent: *\nSitemap: https://a.example/sm.xml\nDisallow: /x"
+    df = spark.createDataFrame([("a.example", body)], "host string, body string")
+    rules = parse_robots_rules(df).collect()
+    assert {r.rule for r in rules} == {"disallow"}

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators.traps import (
+    detect_url_traps,
+    trap_gate,
+    url_template,
+)
+
+
+def test_url_template(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/cal/2024/03/15",),
+            ("https://a.example/item?id=99&page=3",),
+            ("https://a.example",),
+            ("https://a.example/p/x#frag7",),
+        ],
+        "u string",
+    )
+    out = [r[0] for r in df.select(url_template(F.col("u"))).collect()]
+    assert out == [
+        "/cal/{N}/{N}/{N}",
+        "/item?id={N}&page={N}",
+        "/",
+        "/p/x",
+    ]
+
+
+def _trap_pages(spark):
+    rows = [(f"https://t.example/s/{i}", 1) for i in range(30)]  # trap
+    rows += [(f"https://t.example/a/{i}", i) for i in range(30)]  # diverse
+    rows += [(f"https://t.example/few/{i}", 1) for i in range(5)]  # too few
+    return spark.createDataFrame(rows, "url string, fingerprint int")
+
+
+def test_detect_and_gate(spark):
+    traps = detect_url_traps(_trap_pages(spark), min_urls=20, max_diversity_milli=200)
+    by_t = {r.template: r for r in traps.collect()}
+    assert by_t["/s/{N}"].is_trap and by_t["/s/{N}"].diversity_milli == 33
+    assert not by_t["/a/{N}"].is_trap  # diversity 1000
+    assert not by_t["/few/{N}"].is_trap  # under min_urls
+    frontier = spark.createDataFrame(
+        [("https://t.example/s/555",), ("https://t.example/a/555",),
+         ("https://other.example/s/555",)],
+        "fetch_url string",
+    )
+    kept = {r.fetch_url for r in trap_gate(frontier, traps).collect()}
+    # template match is per-host: other.example's /s/{N} is not trapped
+    assert kept == {"https://t.example/a/555", "https://other.example/s/555"}
+
+
+def test_duplicate_fetches_counted_once(spark):
+    rows = [("https://t.example/s/1", 1)] * 5 + [("https://t.example/s/2", 2)]
+    df = spark.createDataFrame(rows, "url string, fingerprint int")
+    [r] = detect_url_traps(df, min_urls=1, max_diversity_milli=1000).collect()
+    assert (r.n_urls, r.n_fps, r.diversity_milli) == (2, 2, 1000)
