@@ -42,6 +42,7 @@ from ..operators.politeness import (
     release_rank_cache,
 )
 from ..operators.retry import due_retries, schedule_retries
+from ..operators.traps import detect_url_traps, trap_gate
 from .snapshots import SnapshotStore
 from .status import latest_status, wave_status_delta
 
@@ -74,6 +75,17 @@ class WaveConfig:
     # drains, the earliest pending retries run immediately (an idle
     # crawler advances time) so waves stay contiguous for the store.
     retry_max_attempts: int | None = None
+    # Spider-trap gate (operators/traps.py): None = off (reference
+    # behavior and e1 parity).  When set, URLs whose (host, digit-
+    # collapsed path template) accumulated >= trap_min_urls distinct
+    # fetches with content diversity <= trap_max_diversity_milli are
+    # dropped from later frontiers.  Content fingerprint is the hash of
+    # parsed.data ONLY — the pagination cursor is excluded, so an
+    # infinite offset chain serving the same payload IS a trap even
+    # though its raw bytes differ per page.  Observations are in-run
+    # state (not snapshotted); a resumed crawl re-learns traps.
+    trap_min_urls: int | None = None
+    trap_max_diversity_milli: int = 200
 
 
 def make_join_fetcher(pages: DataFrame):
@@ -207,6 +219,7 @@ def run_crawl(
     metrics_parts: list[DataFrame] = []
     fetchlog_parts: list[DataFrame] = []
     manifests: list[dict[str, Any]] = []
+    trap_obs: DataFrame | None = None  # (fetch_url, _fp) across waves
 
     wave = start_wave
     while wave < cfg.max_waves:
@@ -216,6 +229,15 @@ def run_crawl(
         f = frontier.withColumn("fetch_url", U.normalize_fetch_url(F.col("url")))
         if cfg.use_robots_disallow and robots is not None:
             f = filter_disallowed(f, robots)
+        if cfg.trap_min_urls is not None and trap_obs is not None:
+            traps = detect_url_traps(
+                trap_obs,
+                url_col="fetch_url",
+                fp_col="_fp",
+                min_urls=cfg.trap_min_urls,
+                max_diversity_milli=cfg.trap_max_diversity_milli,
+            )
+            f = trap_gate(f, traps, url_col="fetch_url")
 
         if cfg.use_politeness:
             wave_budgets = (
@@ -251,6 +273,15 @@ def run_crawl(
         fetched = fetcher(wave_side)
 
         parsed = E.next_cursor(E.parse_pages(fetched)).localCheckpoint()
+
+        if cfg.trap_min_urls is not None:
+            obs = parsed.where(F.col("fetch_ok")).select(
+                "fetch_url",
+                F.xxhash64(F.to_json(F.col("parsed.data"))).alias("_fp"),
+            )
+            trap_obs = (
+                obs if trap_obs is None else trap_obs.unionByName(obs)
+            ).localCheckpoint()
 
         eps = E.extract_episodes(parsed).select(*EPISODES_COLS)
         fetch_log = parsed.select(
