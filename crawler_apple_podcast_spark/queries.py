@@ -2619,6 +2619,59 @@ def crawl_trap_detect(spark, sf):
     return out.withColumn("is_trap", F.col("is_trap").cast("long"))
 
 
+# Host reputation scorecard (operators/reputation.py): per-host blend
+# of quality, language, and exact-uniqueness signals -> admission tier.
+# Injections: doc%6==0 share one dup text per host (uniq down),
+# doc%5==0 (and not %6) get stopword-free word salad (en down).
+@q(
+    "host_reputation_tiers",
+    "WITH base AS (SELECT doc_id, 'h' || (doc_id % 13) AS host,"
+    "  CASE WHEN doc_id % 6 = 0 THEN 'dup content block'"
+    "   WHEN doc_id % 5 = 0 THEN 'zz qq xx ww vv' ELSE text END AS text"
+    "  FROM documents),"
+    " t AS (SELECT host, text, list_filter(string_split(text, ' '),"
+    "  x -> x <> '') AS tk FROM base),"
+    " c AS (SELECT host, text,"
+    f"  (len(list_filter(tk, x -> x IN {_STOP_SQL})) * 1000) // len(tk)"
+    "   AS stop_m,"
+    "  (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000)"
+    "   // length(text) AS alpha_m,"
+    "  CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1000 ELSE 200 END AS len_m"
+    "  FROM t),"
+    " q AS (SELECT host, text, (stop_m + alpha_m + len_m) // 3 AS qm,"
+    "  CASE WHEN stop_m >= 30 THEN 1 ELSE 0 END AS is_en FROM c),"
+    " a AS (SELECT host, COUNT(*) AS n_docs, SUM(qm) AS sq, SUM(is_en) AS ne,"
+    "  COUNT(DISTINCT text) AS nu FROM q GROUP BY host),"
+    " s AS (SELECT host, n_docs, sq // n_docs AS quality_milli,"
+    "  (1000 * ne) // n_docs AS en_milli, (1000 * nu) // n_docs AS uniq_milli"
+    "  FROM a)"
+    " SELECT host, n_docs, CAST(quality_milli AS BIGINT) AS quality_milli,"
+    "  CAST(en_milli AS BIGINT) AS en_milli,"
+    "  CAST(uniq_milli AS BIGINT) AS uniq_milli,"
+    "  CAST((2 * quality_milli + en_milli + uniq_milli) // 4 AS BIGINT)"
+    "   AS score,"
+    "  CASE WHEN (2 * quality_milli + en_milli + uniq_milli) // 4 >= 600"
+    "   THEN 'keep' WHEN (2 * quality_milli + en_milli + uniq_milli) // 4"
+    "   >= 400 THEN 'sample' ELSE 'drop' END AS tier FROM s",
+)
+def host_reputation_tiers(spark, sf):
+    """Per-host quality/language/uniqueness scorecard -> keep/sample/
+    drop admission tiers."""
+    from .operators.reputation import host_scorecard
+
+    d = _t(spark, sf, "documents")
+    demo = d.select(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(13)).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.pmod("doc_id", F.lit(6)) == 0, F.lit("dup content block"))
+        .when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("zz qq xx ww vv"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_scorecard(demo)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
