@@ -246,8 +246,13 @@ def minhash_signatures_map_only(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+def lsh_band_buckets(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """``(doc_id, band, key)`` — the banded-LSH bucket rows.  This IS
+    the persistable near-dup index: 16 bytes/row x bands rows/doc,
+    written once per crawl and probed by later batches
+    (``minhash_probe_new``) without touching old documents."""
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),
@@ -255,9 +260,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows_per_band: i
         )
         for j in range(bands)
     ]
-    buckets = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+    buckets = lsh_band_buckets(signatures, bands, rows_per_band)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -327,22 +337,34 @@ def minhash_dedup_pairs(
     # (ADVICE r3) then leak at most the candidate frame, not the
     # full-corpus signature scan.
     sig.unpersist()
+    return _exact_confirm(df, id_col, text_col, n, cands, threshold_milli)
+
+
+def _exact_confirm(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    cands: DataFrame,
+    threshold_milli: int,
+) -> DataFrame:
+    """Exact-Jaccard confirmation of candidate pairs, restricted to
+    candidate docs: per-doc distinct shingle sets as array columns
+    (narrow), two joins against the candidate pairs, array_intersect
+    for the exact intersection size.  No shingle
+    explode/distinct/self-join shuffles on the corpus."""
     cand_docs = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # Exact confirm, restricted to candidate docs: per-doc distinct
-    # shingle sets as array columns (narrow), two joins against the
-    # candidate pairs, array_intersect for the exact intersection size.
-    # No shingle explode/distinct/self-join shuffles on the corpus.
-    sub = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+    sub = corpus.join(F.broadcast(cand_docs), id_col, "left_semi")
     sets = shingle_sets(sub, id_col, text_col, n)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("_sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
-    out = (
+    return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", inter.alias("_i"), union.alias("_u"))
@@ -354,7 +376,66 @@ def minhash_dedup_pairs(
         )
         .where(F.col("jaccard_milli") >= threshold_milli)
     )
-    return out
+
+
+def minhash_probe_new(
+    new: DataFrame,
+    index_buckets: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_milli: int = 800,
+    n_hashes: int = 36,
+    bands: int = 12,
+    rows_per_band: int = 3,
+    cache_registry: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection for a NEW crawl batch against an
+    already-indexed corpus.
+
+    ``index_buckets`` is ``lsh_band_buckets`` output persisted from
+    earlier batches; ``corpus`` must contain text for BOTH old and new
+    ids (only candidate docs are ever read from it — a left-semi join,
+    so at 100 TB the old corpus is touched only at its near-dup
+    fraction).  Returns ``(pairs, new_buckets)``: confirmed pairs that
+    involve at least one new doc (``doc_a < doc_b`` canonical order,
+    same schema/semantics as ``minhash_dedup_pairs``), and the new
+    batch's bucket rows — union them onto the stored index for the
+    next batch.  New ids must be disjoint from indexed ids.
+
+    This is the steady-state shape of crawl dedup: signatures are
+    computed ONLY for the new batch (the expensive full-corpus scan of
+    ``minhash_dedup_pairs`` never recurs), and the probe is one join
+    of new buckets against the index plus one self-join within the
+    batch.
+    """
+    reg = _sim_cache if cache_registry is None else cache_registry
+    sig = minhash_signatures_from_hashes(
+        shingle_hashes(new, id_col, text_col, n), n_hashes
+    )
+    nb = lsh_band_buckets(sig, bands, rows_per_band).persist()
+    reg.append(nb)
+    nb.count()
+    a = nb.select(F.col("doc_id").alias("_na"), "band", "key")
+    cross = (
+        a.join(index_buckets.select(F.col("doc_id").alias("_ob"), "band", "key"), ["band", "key"])
+        .select(
+            F.least("_na", "_ob").alias("doc_a"),
+            F.greatest("_na", "_ob").alias("doc_b"),
+        )
+    )
+    b = nb.select(F.col("doc_id").alias("_nb"), "band", "key")
+    within = (
+        a.join(b, ["band", "key"])
+        .where(F.col("_na") < F.col("_nb"))
+        .select(F.col("_na").alias("doc_a"), F.col("_nb").alias("doc_b"))
+    )
+    cands = cross.unionByName(within).distinct().persist()
+    reg.append(cands)
+    cands.count()
+    pairs = _exact_confirm(corpus, id_col, text_col, n, cands, threshold_milli)
+    return pairs, nb
 
 
 # -------------------------------------------------------------- SimHash

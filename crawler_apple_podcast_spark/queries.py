@@ -2672,6 +2672,32 @@ def host_reputation_tiers(spark, sf):
     return host_scorecard(demo)
 
 
+# Incremental crawl-batch near-dup detection: docs %10==0 arrive as the
+# NEW batch against an LSH index built from the rest.  Output = exact
+# near-dup pairs involving >=1 new doc (oracle: the full exact pair set
+# filtered to those pairs — LSH recall is total on this data, as for
+# dedup_minhash_lsh).
+@q(
+    "dedup_minhash_incremental",
+    "WITH pr AS (" + _SHINGLE_CTE.format(thr=500) + ")"
+    " SELECT * FROM pr WHERE doc_a % 10 = 0 OR doc_b % 10 = 0",
+)
+def dedup_minhash_incremental(spark, sf):
+    """New-batch LSH probe against a persisted band index
+    (operators/similarity.py:minhash_probe_new)."""
+    d = _t(spark, sf, "documents")
+    old = d.where(F.pmod("doc_id", F.lit(10)) != 0)
+    new = d.where(F.pmod("doc_id", F.lit(10)) == 0)
+    sig_old = S.minhash_signatures_from_hashes(
+        S.shingle_hashes(old, "doc_id", "text", 3), 36
+    )
+    index = S.lsh_band_buckets(sig_old, bands=12, rows_per_band=3)
+    pairs, _ = S.minhash_probe_new(
+        new, index, d, "doc_id", "text", 3, threshold_milli=500
+    )
+    return pairs
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

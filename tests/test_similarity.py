@@ -454,3 +454,53 @@ def test_knn_join_ivf_candidates_prune(spark):
         .select("qid", "cid").distinct().count()
     )
     assert n_cand < 20 * 200 * 0.6  # well under the cross join
+
+
+def test_incremental_probe_equals_batch_restriction(spark):
+    """minhash_probe_new on a split corpus == minhash_dedup_pairs on
+    the full corpus, restricted to pairs touching the new batch; and
+    the union index reproduces batch banding exactly."""
+    import crawler_apple_podcast_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail {i % 4}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = S.minhash_dedup_pairs(docs, "doc_id", "text", 3, 500)
+    expected = sorted(
+        (r.doc_a, r.doc_b, r.jaccard_milli)
+        for r in full.collect()
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    )
+    old = docs.where(F.pmod("doc_id", F.lit(5)) != 0)
+    new = docs.where(F.pmod("doc_id", F.lit(5)) == 0)
+    reg = []
+    idx = S.lsh_band_buckets(
+        S.minhash_signatures_from_hashes(
+            S.shingle_hashes(old, "doc_id", "text", 3), 36
+        ),
+        bands=12,
+        rows_per_band=3,
+    )
+    pairs, nb = S.minhash_probe_new(
+        new, idx, docs, "doc_id", "text", 3, 500, cache_registry=reg
+    )
+    got = sorted((r.doc_a, r.doc_b, r.jaccard_milli) for r in pairs.collect())
+    assert got == expected and got
+    # updated index == batch banding over everything
+    merged = sorted(map(tuple, idx.unionByName(nb).collect()))
+    all_buckets = sorted(
+        map(
+            tuple,
+            S.lsh_band_buckets(
+                S.minhash_signatures_from_hashes(
+                    S.shingle_hashes(docs, "doc_id", "text", 3), 36
+                ),
+                bands=12,
+                rows_per_band=3,
+            ).collect(),
+        )
+    )
+    assert merged == all_buckets
+    for f in reg:
+        f.unpersist()
