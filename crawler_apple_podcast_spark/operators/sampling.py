@@ -79,3 +79,35 @@ def sample_stratified(
         .where(F.col("_bucket") < F.col("_rate_milli"))
         .drop("_rate_milli")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: Column | str,
+    splits_milli: list[tuple[str, int]] = (
+        ("train", 900), ("val", 50), ("test", 50),
+    ),
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment: the
+    bucket of ``key_col`` falls into cumulative per-mille ranges.
+
+    Key the GROUP that leaks (host / registrable domain), not the
+    document: near-duplicate pages of one site then land in the same
+    split by construction, which hash-of-doc-id splits do not
+    guarantee.  Same replayability properties as
+    ``sample_stratified`` (pure function of the key, engine-portable
+    md5 arithmetic, stable under corpus growth).  NULL keys get a NULL
+    split.  The ranges must sum to exactly 1000.
+    """
+    pairs = list(splits_milli)
+    if sum(m for _, m in pairs) != BUCKETS:
+        raise ValueError(f"split fractions must sum to {BUCKETS}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    b = hash_bucket_milli(key)
+    expr = None
+    hi = 0
+    for name, milli in pairs:
+        hi += milli
+        expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
+    return df.withColumn(out_col, expr)

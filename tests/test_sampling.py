@@ -133,3 +133,34 @@ def test_sampling_invariants_property(spark, rows, r_lo, r_hi):
     }
     assert rerun == kept_hi  # (2)
     assert all(r._bucket < hi for r in out_hi)  # (4): all strata share rate hi
+
+
+def test_split_assign_leakage_safe_and_complete(spark):
+    rows = [(i, f"host{i % 9}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = SAMP.split_assign(df, "host").collect()
+    assert all(r.split in ("train", "val", "test") for r in out)
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_host.values())  # no host straddles
+
+
+def test_split_assign_fractions_must_sum(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    with pytest.raises(ValueError):
+        SAMP.split_assign(df, "host", [("train", 500), ("test", 400)])
+
+
+def test_split_assign_stable_under_growth(spark):
+    small = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(50)], "doc_id long, host string"
+    )
+    big = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(200)], "doc_id long, host string"
+    )
+    s = {(r.doc_id, r.split) for r in SAMP.split_assign(small, "host").collect()}
+    b = {(r.doc_id, r.split) for r in SAMP.split_assign(big, "host").collect()}
+    assert s <= b
