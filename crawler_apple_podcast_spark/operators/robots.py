@@ -199,7 +199,7 @@ def robots_gate(
 _SITEMAP_RE = r"(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"
 
 
-def extract_sitemap_urls(
+def sitemap_directives(
     robots: DataFrame, host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:
     """``(host, sitemap_url, line_no)`` from ``Sitemap:`` directives.

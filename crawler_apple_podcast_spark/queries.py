@@ -2526,7 +2526,7 @@ def text_lm_bigram_score(spark, sf):
 
 
 # Sitemap discovery from robots.txt Sitemap: directives
-# (operators/robots.py:extract_sitemap_urls) — host-global lines, not
+# (operators/robots.py:sitemap_directives) — host-global lines, not
 # group rules; the lowercase/no-space variant checks parser laxity.
 @q(
     "robots_sitemap_discovery",
@@ -2559,7 +2559,7 @@ def robots_sitemap_discovery(spark, sf):
         F.concat(F.lit("h"), hs, F.lit(".example")).alias("host"),
         body.alias("body"),
     )
-    return RB.extract_sitemap_urls(robots)
+    return RB.sitemap_directives(robots)
 
 
 # Spider-trap detection (operators/traps.py): a calendar template and

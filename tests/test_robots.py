@@ -189,8 +189,8 @@ def test_gate_matches_referee(spark, pats, paths):
         )
 
 
-def test_extract_sitemap_urls(spark):
-    from crawler_apple_podcast_spark.operators.robots import extract_sitemap_urls
+def test_robots_sitemap_directives(spark):
+    from crawler_apple_podcast_spark.operators.robots import sitemap_directives
 
     body = (
         "User-agent: *\nDisallow: /x\n"
@@ -202,7 +202,7 @@ def test_extract_sitemap_urls(spark):
     df = spark.createDataFrame([("a.example", body)], "host string, body string")
     rows = sorted(
         (r.sitemap_url, r.line_no)
-        for r in extract_sitemap_urls(df).collect()
+        for r in sitemap_directives(df).collect()
     )
     assert rows == [
         ("https://a.example/caps.xml", 5),
