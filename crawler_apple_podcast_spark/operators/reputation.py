@@ -80,3 +80,63 @@ def host_scorecard(
         .otherwise("drop")
     )
     return s.withColumn("tier", tier)
+
+
+def page_link_signals(
+    pages: DataFrame,
+    url_col: str = "page_url",
+    html_col: str = "html",
+    spam_density_milli: int = 500,
+) -> DataFrame:
+    """Per-page link-density spam signals — the C4/Gopher-family
+    structural filters: link farms and nav-only pages are mostly
+    anchor text; prose pages are not.
+
+    ``(page_url, n_links, n_external, anchor_chars, text_chars,
+    link_density_milli, external_milli, is_linkspam)`` where
+    ``link_density_milli = 1000 * anchor_chars div text_chars`` (-1 on
+    empty visible text), ``external_milli = 1000 * n_external div
+    n_links`` (-1 on zero links), and ``is_linkspam`` gates on the
+    density threshold.  Visible text = HTML with tags collapsed to
+    single spaces.  Everything is one codegen map over the page scan —
+    no shuffle, no Python.
+    """
+    from ..functions.urls import extract_anchors, host_of, resolve_href
+
+    anchors = extract_anchors(F.col(html_col))
+    page_host = host_of(F.col(url_col))
+    n_ext = F.size(
+        F.filter(
+            anchors,
+            lambda p: host_of(resolve_href(p["href"], F.col(url_col)))
+            != page_host,
+        )
+    ).cast("long")
+    anchor_chars = F.aggregate(
+        anchors, F.lit(0).cast("long"), lambda acc, p: acc + F.length(p["anchor"])
+    )
+    visible = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col(html_col), "<[^>]*>", " "), " +", " ")
+    )
+    sig = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.size(anchors).cast("long").alias("n_links"),
+        n_ext.alias("n_external"),
+        anchor_chars.alias("anchor_chars"),
+        F.length(visible).cast("long").alias("text_chars"),
+    )
+    density = F.when(
+        F.col("text_chars") > 0,
+        F.expr("(1000 * anchor_chars) div text_chars"),
+    ).otherwise(F.lit(-1))
+    ext = F.when(
+        F.col("n_links") > 0, F.expr("(1000 * n_external) div n_links")
+    ).otherwise(F.lit(-1))
+    return (
+        sig.withColumn("link_density_milli", density)
+        .withColumn("external_milli", ext)
+        .withColumn(
+            "is_linkspam",
+            F.col("link_density_milli") >= spam_density_milli,
+        )
+    )

@@ -2722,6 +2722,62 @@ def corpus_split_leakage_safe(spark, sf):
     )
 
 
+# Link-density spam signals (operators/reputation.py:
+# page_link_signals).  Pages carry 0-2 internal links (doc%3) plus an
+# external one on even docs; the oracle derives link counts
+# analytically and REPLAYS the visible-text regexp pipeline in SQL.
+@q(
+    "page_link_spam_signals",
+    "WITH b AS (SELECT doc_id, doc_id % 3 AS m,"
+    "  'https://h' || (doc_id % 11) || '.example/page/' || doc_id AS page_url,"
+    "  '<p>' || substr(text, 1, 60) || '</p>'"
+    "  || CASE WHEN doc_id % 3 >= 1 THEN '<a href=\"/p/0\">in 0</a>' ELSE '' END"
+    "  || CASE WHEN doc_id % 3 >= 2 THEN '<a href=\"/p/1\">in 1</a>' ELSE '' END"
+    "  || CASE WHEN doc_id % 2 = 0 THEN"
+    "   '<a href=\"https://ext.example/x\">external anchor text</a>'"
+    "   ELSE '' END AS html FROM documents),"
+    " s AS (SELECT page_url,"
+    "  CAST(m + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)"
+    "   AS n_links,"
+    "  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)"
+    "   AS n_external,"
+    "  CAST(m * 4 + CASE WHEN doc_id % 2 = 0 THEN 20 ELSE 0 END AS BIGINT)"
+    "   AS anchor_chars,"
+    "  CAST(length(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ',"
+    "   'g'), ' +', ' ', 'g'))) AS BIGINT) AS text_chars FROM b)"
+    " SELECT page_url, n_links, n_external, anchor_chars, text_chars,"
+    "  CASE WHEN text_chars > 0 THEN (1000 * anchor_chars) // text_chars"
+    "   ELSE -1 END AS link_density_milli,"
+    "  CASE WHEN n_links > 0 THEN (1000 * n_external) // n_links"
+    "   ELSE -1 END AS external_milli,"
+    "  CAST(CASE WHEN (CASE WHEN text_chars > 0 THEN (1000 * anchor_chars)"
+    "   // text_chars ELSE -1 END) >= 500 THEN 1 ELSE 0 END AS BIGINT)"
+    "   AS is_linkspam FROM s",
+)
+def page_link_spam_signals(spark, sf):
+    """Per-page link-density / external-ratio spam signals."""
+    from .operators.reputation import page_link_signals
+
+    d = _t(spark, sf, "documents")
+    m = F.pmod("doc_id", F.lit(3))
+    page = F.concat(
+        F.lit("https://h"), F.pmod("doc_id", F.lit(11)).cast("string"),
+        F.lit(".example/page/"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit("<p>"), F.substring("text", 1, 60), F.lit("</p>"),
+        F.when(m >= 1, F.lit('<a href="/p/0">in 0</a>')).otherwise(F.lit("")),
+        F.when(m >= 2, F.lit('<a href="/p/1">in 1</a>')).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.lit('<a href="https://ext.example/x">external anchor text</a>'),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(page.alias("page_url"), html.alias("html"))
+    out = page_link_signals(pages, spam_density_milli=500)
+    return out.withColumn("is_linkspam", F.col("is_linkspam").cast("long"))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
