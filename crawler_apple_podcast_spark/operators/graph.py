@@ -208,3 +208,42 @@ def anchor_text_agg(
         .where(F.col("rk") <= k)
         .select(target_col, anchor_col, "n_pages", "rk")
     )
+
+
+def select_component_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-priority canonical selection: for each near-dup
+    component, keep the member with the HIGHEST score (tie -> smallest
+    id), not the smallest id.  Min-id selection (``dedup_components``)
+    is arbitrary; when members differ (truncated mirrors, boilerplate
+    variants), a corpus wants the best copy.
+
+    ``components`` is ``dedup_components`` output; ``scores`` supplies
+    ``(id_col, score_col)`` for AT LEAST the component members (inner
+    join — at scale this is the near-dup fraction, not the corpus).
+    Returns ``(doc_id, component, keep)``: one ``keep=true`` row per
+    component via ``max_by`` (tie-broken by negated id inside the max
+    struct — deterministic, no window over skewed components).
+    """
+    j = components.join(
+        scores.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
+        "doc_id",
+    )
+    best = j.groupBy("component").agg(
+        F.max(F.struct(F.col("_s"), (-F.col("doc_id")).alias("_nid"))).alias("_b")
+    )
+    return (
+        j.join(best, "component")
+        .select(
+            "doc_id",
+            "component",
+            (
+                (F.col("_s") == F.col("_b._s"))
+                & (F.col("doc_id") == -F.col("_b._nid"))
+            ).alias("keep"),
+        )
+    )

@@ -2778,6 +2778,46 @@ def page_link_spam_signals(spark, sf):
     return out.withColumn("is_linkspam", F.col("is_linkspam").cast("long"))
 
 
+# Quality-priority canonical selection over near-dup components
+# (operators/graph.py:select_component_representatives): keep the
+# best-quality member, not the arbitrary min-id one.
+@q(
+    "dedup_components_best",
+    "WITH RECURSIVE pairs AS (" + _SHINGLE_CTE.format(thr=500) + "),"
+    " edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),"
+    " reach AS (SELECT src AS doc, src AS root FROM edges"
+    " UNION SELECT e.dst AS doc, r.root FROM reach r JOIN edges e"
+    "  ON e.src = r.doc),"
+    " cc AS (SELECT doc AS doc_id, min(root) AS component FROM reach"
+    "  GROUP BY doc),"
+    " t AS (SELECT doc_id, text, list_filter(string_split(text, ' '),"
+    "  x -> x <> '') AS tk FROM documents),"
+    " q AS (SELECT doc_id,"
+    f" ((len(list_filter(tk, x -> x IN {_STOP_SQL})) * 1000) // len(tk)"
+    "  + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000)"
+    "   // length(text)"
+    "  + CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1000 ELSE 200 END) // 3"
+    "  AS qm FROM t),"
+    " j AS (SELECT cc.doc_id, cc.component, q.qm,"
+    "  row_number() OVER (PARTITION BY cc.component"
+    "   ORDER BY q.qm DESC, cc.doc_id ASC) AS rn"
+    "  FROM cc JOIN q ON q.doc_id = cc.doc_id)"
+    " SELECT doc_id, component,"
+    "  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM j",
+)
+def dedup_components_best(spark, sf):
+    """Near-dup components -> keep the highest-quality member each."""
+    from .operators.graph import select_component_representatives
+
+    d = _t(spark, sf, "documents")
+    pairs = S.minhash_dedup_pairs(d, "doc_id", "text", 3, 500)
+    comps = G.dedup_components(pairs)
+    scores = d.select("doc_id", T.quality_score_milli(F.col("text")).alias("q"))
+    out = select_component_representatives(comps, scores, score_col="q")
+    return out.withColumn("keep", F.col("keep").cast("long"))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

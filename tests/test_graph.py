@@ -111,3 +111,33 @@ def test_pagerank_matches_referee_random_graphs(spark, edges, iters):
         ).collect()
     }
     assert got == ref_pagerank(sorted(edges), iters=iters)
+
+
+def test_select_component_representatives(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_apple_podcast_spark.operators.graph import (
+        dedup_components,
+        select_component_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    # doc 3 has the best score in {1,2,3}; 10 and 11 tie -> min id wins
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 9), (10, 4), (11, 4)], "doc_id long, score long"
+    )
+    out = select_component_representatives(
+        dedup_components(pairs), scores
+    ).collect()
+    keep = {r.doc_id for r in out if r.keep}
+    assert keep == {3, 10}
+    assert {r.doc_id: r.component for r in out} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10
+    }
+    # exactly one keeper per component
+    from collections import Counter
+
+    c = Counter(r.component for r in out if r.keep)
+    assert all(v == 1 for v in c.values())
