@@ -1173,3 +1173,69 @@ def knn_join_ivf(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def repeated_span_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold_milli: int = 200,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document repeated-span statistics (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token window of length ``n`` is DUPLICATED if the identical window
+    occurs anywhere else in the corpus (another doc, or another
+    position of the same doc).  Output ``(id_col, n_windows,
+    n_dup_windows, dup_span_milli, flagged)`` with ``dup_span_milli =
+    1000 * dup div windows`` (-1 for docs shorter than ``n`` tokens)
+    and ``flagged`` at ``threshold_milli``.
+
+    Shape: per-position windows from one ``transform`` over an index
+    sequence (``element_at`` stays in bounds; short docs are NULL-
+    guarded — Spark's ``sequence(1, 0)`` DESCENDS), exploded into ONE
+    corpus-wide count on the window key, joined back, one doc-keyed
+    aggregate.  ``hash_grams=True`` replaces the window string with
+    ``xxhash64`` — 8-byte shuffle keys for the 100 TB run, identical
+    counts up to 64-bit collisions; the exact string mode is what the
+    byte-parity oracle checks.
+    """
+    tk = tokens(F.col(text_col))
+    win = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - n + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(n)]
+            ),
+        ),
+    )
+    occ = df.select(id_col, F.explode(win).alias("_g"))
+    if hash_grams:
+        occ = occ.select(id_col, F.xxhash64("_g").alias("_g"))
+    cnt = occ.groupBy("_g").agg(F.count("*").alias("_c"))
+    per_doc = (
+        occ.join(cnt, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    # evaluated AFTER the coalesce below rewrites n_windows to 0 for
+    # short docs — must guard, or ANSI mode throws divide-by-zero
+    milli = F.when(
+        F.col("n_windows") > 0, F.expr("(1000 * n_dup_windows) div n_windows")
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        out.withColumn("n_windows", F.coalesce("n_windows", F.lit(0)).cast("long"))
+        .withColumn(
+            "n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+        )
+        .withColumn("dup_span_milli", milli)
+        .withColumn("flagged", F.col("dup_span_milli") >= threshold_milli)
+    )

@@ -2818,6 +2818,37 @@ def dedup_components_best(spark, sf):
     return out.withColumn("keep", F.col("keep").cast("long"))
 
 
+# Repeated-span (8-token window) dedup report — Lee et al. exact
+# substring-dedup signal, run over the raw corpus (its tiny vocabulary
+# makes real cross-doc window collisions common; the oracle replays the
+# window counting exactly).
+@q(
+    "dedup_repeated_spans",
+    "WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+    "  x -> x <> '') AS t FROM documents),"
+    " w AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM ("
+    "  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i"
+    "  FROM tk WHERE len(t) >= 8) s),"
+    " c AS (SELECT g, COUNT(*) AS c FROM w GROUP BY g),"
+    " p AS (SELECT w.doc_id, COUNT(*) AS n_windows,"
+    "  SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup"
+    "  FROM w JOIN c USING (g) GROUP BY 1)"
+    " SELECT tk.doc_id, CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,"
+    "  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,"
+    "  CAST(COALESCE((1000 * n_dup) // n_windows, -1) AS BIGINT)"
+    "   AS dup_span_milli,"
+    "  CAST(CASE WHEN COALESCE((1000 * n_dup) // n_windows, -1) >= 200"
+    "   THEN 1 ELSE 0 END AS BIGINT) AS flagged"
+    " FROM tk LEFT JOIN p USING (doc_id)",
+)
+def dedup_repeated_spans(spark, sf):
+    """Per-doc duplicated 8-token-window fraction (Lee et al. signal)."""
+    out = S.repeated_span_report(
+        _t(spark, sf, "documents"), "doc_id", "text", n=8, threshold_milli=200
+    )
+    return out.withColumn("flagged", F.col("flagged").cast("long"))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -504,3 +504,41 @@ def test_incremental_probe_equals_batch_restriction(spark):
     assert merged == all_buckets
     for f in reg:
         f.unpersist()
+
+
+def test_repeated_span_report_hand_case(spark):
+    import crawler_apple_podcast_spark.operators.similarity as S
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, span + " tail-a unique-a"),
+            (2, span + " tail-b unique-b"),  # shares exactly the 8-gram span
+            (3, "totally different words here without any overlap at all"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in S.repeated_span_report(docs, n=8).collect()}
+    # docs 1/2: 3 windows each, only the leading span window repeats
+    assert (out[1].n_windows, out[1].n_dup_windows) == (3, 1)
+    assert out[1].dup_span_milli == 333 and out[1].flagged
+    assert out[2].n_dup_windows == 1
+    assert (out[3].n_dup_windows, out[3].flagged) == (0, False)
+    assert (out[4].n_windows, out[4].dup_span_milli, out[4].flagged) == (0, -1, False)
+    # hashed mode: identical counts here
+    h = {r.doc_id: r for r in S.repeated_span_report(docs, n=8, hash_grams=True).collect()}
+    assert all(
+        (h[i].n_windows, h[i].n_dup_windows) == (out[i].n_windows, out[i].n_dup_windows)
+        for i in out
+    )
+
+
+def test_repeated_span_intra_doc_repeat_counts(spark):
+    import crawler_apple_podcast_spark.operators.similarity as S
+
+    words = "a b c d e f g h"
+    doc = f"{words} z {words}"  # the same 8-gram twice WITHIN one doc
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    [r] = S.repeated_span_report(docs, n=8).collect()
+    assert r.n_dup_windows >= 2  # both occurrences count as duplicated
