@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the scale properties the operators
+claim (pushdown, pruning, bounded shuffle counts, broadcast placement)
+are asserted on the optimized plans, not just prose in docstrings.
+
+These use sf0.001 parquet so scans are real parquet scans (pushdown /
+pruning only exist at a file source)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import crawler_apple_podcast_spark.queries as catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return catalog.queries()
+
+
+def test_filter_and_projection_reach_parquet(spark, qs):
+    p = _plan(qs["p1_filter_project"](spark, SF))
+    assert "PushedFilters: [EqualTo(event_type,click)" in p
+    # column pruning: the events scan must not read the wide props/ts
+    scan = p[p.index("FileScan") :]
+    schema = scan.split("ReadSchema")[1][:400]
+    assert "props" not in schema and "ts" not in schema
+
+
+def test_tpch_q3_broadcasts_the_dim_side(spark, qs):
+    p = _plan(qs["tpch_q3_top_orders"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    # the big fact join must not be a cartesian / nested loop
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_boilerplate_strip_shuffle_budget(spark, qs):
+    # line-df agg + host counts + flag join + doc reassembly: the plan
+    # must stay a bounded handful of exchanges, none of them global
+    # single-partition.
+    p = _plan(qs["text_boilerplate_strip"](spark, SF))
+    assert p.count("Exchange") <= 6
+    assert "SinglePartition" not in p
+
+
+def test_budget_apportion_never_globally_windows_the_host_table(spark, qs):
+    # the ONLY single-partition exchange allowed is over the tiny
+    # bucket-count frame (<= n_buckets rows), never the scored table:
+    # assert the host-table aggregate (partial_sum over scores) does
+    # not sit under a SinglePartition exchange.
+    from crawler_apple_podcast_spark.operators.budget import apportion_budget
+
+    scores = (
+        spark.range(10_000)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            (F.pmod("id", F.lit(97)) + 1).cast("long").alias("score"),
+        )
+    )
+    p = _plan(apportion_budget(scores, 1_000_000))
+    single = [
+        seg for seg in p.split("Exchange") if seg.startswith(" SinglePartition")
+    ]
+    # window over bucket counts is fine; ranking rows must ride
+    # hashpartitioning(_bkt)
+    assert "hashpartitioning(_bkt" in p
+    for seg in single:
+        assert "xxhash" not in seg  # no full-table single-partition pass
+
+
+def test_trap_detect_single_aggregate_shuffle(spark, qs):
+    p = _plan(qs["crawl_trap_detect"](spark, SF))
+    # expand-based multi-distinct: aggregates shuffle on (host,
+    # template) only; no join, no window
+    assert "Window" not in p and "SortMergeJoin" not in p
+
+
+def test_revisit_schedule_reuses_window_partitioning(spark, qs):
+    p = _plan(qs["crawl_revisit_schedule"](spark, SF))
+    assert p.count("Exchange") == 1
+
+
+def test_minhash_probe_touches_corpus_via_semi_join(spark):
+    import crawler_apple_podcast_spark.operators.similarity as S
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    old = d.where(F.pmod("doc_id", F.lit(10)) != 0)
+    new = d.where(F.pmod("doc_id", F.lit(10)) == 0)
+    idx = S.lsh_band_buckets(
+        S.minhash_signatures_from_hashes(
+            S.shingle_hashes(old, "doc_id", "text", 3), 36
+        ),
+        12,
+        3,
+    )
+    reg = []
+    pairs, _ = S.minhash_probe_new(
+        new, idx, d, "doc_id", "text", 3, 500, cache_registry=reg
+    )
+    p = _plan(pairs)
+    assert "LeftSemi" in p  # old corpus text read only for candidates
+    for f in reg:
+        f.unpersist()
