@@ -2849,6 +2849,93 @@ def dedup_repeated_spans(spark, sf):
     return out.withColumn("flagged", F.col("flagged").cast("long"))
 
 
+# Web-cleaning composite: host-chromed pages -> per-host boilerplate
+# line strip -> corpus-global keep-first paragraph dedup -> newline
+# normalization -> quality score + keep gate, as ONE lazy plan.  The
+# oracle chains the byte-parity SQL of every stage, so the final
+# cleaned STRINGS (not just counts) must match.
+@q(
+    "web_clean_pipeline",
+    "WITH base AS (SELECT doc_id, 'h' || (doc_id % 7) AS host,"
+    "  'NAV MENU h' || (doc_id % 7) || chr(10)"
+    "  || 'SYNDICATED wire item ' || (doc_id % 25) || chr(10) || text"
+    "  || chr(10) || CASE WHEN doc_id % 10 < 7 THEN '(c) h' || (doc_id % 7)"
+    "   ELSE 'promo h' || (doc_id % 7) END AS t FROM documents),"
+    " l1 AS (SELECT doc_id, host, u.pos AS pos, u.ln AS ln FROM (SELECT"
+    "  doc_id, host, unnest(list_transform(string_split(t, chr(10)),"
+    "  (x, i) -> {'pos': i, 'ln': x})) AS u FROM base) s),"
+    " d1 AS (SELECT host, ln, COUNT(DISTINCT doc_id) AS df_ FROM l1"
+    "  GROUP BY 1, 2),"
+    " n1 AS (SELECT host, COUNT(*) AS nd FROM base GROUP BY 1),"
+    " fr AS (SELECT d1.host, d1.ln FROM d1 JOIN n1 USING (host)"
+    "  WHERE d1.df_ * 1000 >= 600 * n1.nd),"
+    " s1 AS (SELECT l.doc_id, COALESCE(string_agg(CASE WHEN f.ln IS NULL"
+    "  THEN l.ln END, chr(10) ORDER BY l.pos), '') AS t1 FROM l1 l"
+    "  LEFT JOIN fr f ON l.host = f.host AND l.ln = f.ln GROUP BY 1),"
+    " l2 AS (SELECT doc_id, u.pos AS pos, u.p AS p FROM (SELECT doc_id,"
+    "  unnest(list_transform(string_split(t1, chr(10)),"
+    "  (x, i) -> {'pos': i, 'p': x})) AS u FROM s1) s),"
+    " f2 AS (SELECT doc_id, pos, p, row_number() OVER (PARTITION BY p"
+    "  ORDER BY doc_id, pos) AS rn FROM l2),"
+    " s2 AS (SELECT doc_id, COALESCE(string_agg(CASE WHEN rn = 1 THEN p END,"
+    "  chr(10) ORDER BY pos), '') AS t2 FROM f2 GROUP BY 1),"
+    " s3 AS (SELECT doc_id, replace(t2, chr(10), ' ') AS text_clean FROM s2),"
+    " tq AS (SELECT doc_id, text_clean, list_filter(string_split(text_clean,"
+    "  ' '), x -> x <> '') AS tk FROM s3),"
+    " q AS (SELECT doc_id, text_clean, CAST(len(tk) AS BIGINT) AS n_tokens,"
+    f" ((len(list_filter(tk, x -> x IN {_STOP_SQL})) * 1000) // len(tk)"
+    "  + (length(regexp_replace(text_clean, '[^A-Za-z]', '', 'g')) * 1000)"
+    "   // length(text_clean)"
+    "  + CASE WHEN len(tk) BETWEEN 20 AND 1000 THEN 1000 ELSE 200 END) // 3"
+    "  AS quality_milli FROM tq WHERE len(tk) > 0)"
+    " SELECT doc_id, text_clean, n_tokens, CAST(quality_milli AS BIGINT)"
+    "  AS quality_milli, CAST(CASE WHEN quality_milli >= 400 THEN 1 ELSE 0"
+    "  END AS BIGINT) AS kept FROM q",
+)
+def web_clean_pipeline(spark, sf):
+    """Boilerplate strip -> paragraph dedup -> normalize -> quality
+    gate as one plan; oracle compares the cleaned strings."""
+    from .operators.boilerplate import (
+        dedup_paragraphs_global,
+        strip_boilerplate_lines,
+    )
+
+    d = _t(spark, sf, "documents")
+    h = F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string"))
+    footer = F.when(
+        F.pmod("doc_id", F.lit(10)) < 7, F.concat(F.lit("(c) "), h)
+    ).otherwise(F.concat(F.lit("promo "), h))
+    demo = d.select(
+        "doc_id",
+        h.alias("host"),
+        F.concat(
+            F.lit("NAV MENU "), h, F.lit("\n"),
+            F.lit("SYNDICATED wire item "),
+            F.pmod("doc_id", F.lit(25)).cast("string"), F.lit("\n"),
+            F.col("text"), F.lit("\n"), footer,
+        ).alias("text"),
+    )
+    s1 = strip_boilerplate_lines(demo, threshold_milli=600).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    s2 = dedup_paragraphs_global(s1)
+    s3 = s2.select(
+        "doc_id", F.regexp_replace("clean_text", "\n", " ").alias("text_clean")
+    )
+    toks = T.tokens(F.col("text_clean"))
+    q = T.quality_score_milli(F.col("text_clean"))
+    return (
+        s3.where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            "text_clean",
+            F.size(toks).cast("long").alias("n_tokens"),
+            q.alias("quality_milli"),
+            (q >= 400).cast("long").alias("kept"),
+        )
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
