@@ -2936,6 +2936,45 @@ def web_clean_pipeline(spark, sf):
     )
 
 
+# Prefix-delta frontier compression accounting
+# (operators/compression.py).  The oracle recomputes the longest
+# common prefix via the monotone-prefix trick (count of i with
+# url[1:i] = prev[1:i]).
+@q(
+    "frontier_prefix_compression",
+    "WITH u AS (SELECT 'h' || (doc_id % 9) || '.example' AS host,"
+    "  'https://h' || (doc_id % 9) || '.example/dir' || (doc_id % 5)"
+    "  || '/page/' || doc_id || '?ref=x' AS url FROM documents),"
+    " l AS (SELECT host, url, lag(url) OVER (PARTITION BY host"
+    "  ORDER BY url) AS prev FROM u),"
+    " c AS (SELECT host, url, prev, CASE WHEN prev IS NULL THEN NULL ELSE"
+    "  len(list_filter(generate_series(1, least(length(url), length(prev))),"
+    "  i -> url[1:i] = prev[1:i])) END AS cpl FROM l),"
+    " a AS (SELECT host, COUNT(*) AS n_urls, SUM(length(url)) AS raw,"
+    "  SUM(CASE WHEN prev IS NULL THEN length(url)"
+    "   ELSE length(url) - cpl + 2 END) AS delta FROM c GROUP BY host)"
+    " SELECT host, n_urls, CAST(raw AS BIGINT) AS raw_bytes,"
+    "  CAST(delta AS BIGINT) AS delta_bytes,"
+    "  CAST((1000 * (raw - delta)) // raw AS BIGINT) AS savings_milli"
+    " FROM a",
+)
+def frontier_prefix_compression(spark, sf):
+    """Per-host prefix-delta coding byte accounting for frontier
+    snapshots."""
+    from .operators.compression import prefix_delta_stats
+
+    d = _t(spark, sf, "documents")
+    h = F.concat(
+        F.lit("h"), F.pmod("doc_id", F.lit(9)).cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), h, F.lit("/dir"),
+        F.pmod("doc_id", F.lit(5)).cast("string"), F.lit("/page/"),
+        F.col("doc_id").cast("string"), F.lit("?ref=x"),
+    )
+    return prefix_delta_stats(d.select(h.alias("host"), url.alias("url")))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
