@@ -2975,6 +2975,97 @@ def frontier_prefix_compression(spark, sf):
     return prefix_delta_stats(d.select(h.alias("host"), url.alias("url")))
 
 
+# Hashed-BoW linear classifier gate (operators/classifier.py): the
+# serving path of a fastText-style quality filter — md5 feature
+# hashing, broadcast weight join, integer score sum (no division, so
+# DuckDB's truncating `//` never enters).  Weights here are the
+# deterministic md5-derived stand-in; a trained model swaps in as
+# data with an identical plan.
+@q(
+    "quality_classifier_score",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " e AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS token FROM t),"
+    " b AS (SELECT doc_id, n,"
+    "  CAST('0x' || substr(md5(token), 1, 6) AS BIGINT) % 512 AS bucket FROM e),"
+    " w AS (SELECT doc_id, n,"
+    "  (CAST('0x' || substr(md5(CAST(bucket AS VARCHAR)), 1, 6) AS BIGINT) % 2001)"
+    "   - 1000 AS wt FROM b),"
+    " s AS (SELECT doc_id, max(n) AS n_tokens, SUM(wt) AS score_raw FROM w GROUP BY doc_id)"
+    " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+    "  CAST(score_raw AS BIGINT) AS score_raw,"
+    "  CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label FROM s"
+    " UNION ALL SELECT doc_id, 0::BIGINT, 0::BIGINT, 'keep' FROM t WHERE len(tk) = 0",
+)
+def quality_classifier_score(spark, sf):
+    """fastText-analog quality gate: hashed bag-of-words dot product
+    with a broadcast weight table, integer-exact."""
+    from .operators import classifier as CLS
+
+    d = _t(spark, sf, "documents")
+    w = CLS.hash_weights(spark, buckets=512)
+    return CLS.classifier_score(d, "doc_id", "text", w, buckets=512)
+
+
+# DSIR-style importance scoring (operators/importance.py): per-bucket
+# target/corpus count-ratio weights (pure 64-bit `div`), summed per
+# doc.  Target slice = doc_id % 37 (the decontamination eval slice
+# convention), so the score measures "looks like the eval domain".
+@q(
+    "corpus_importance_scores",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
+    " FROM documents),"
+    " e AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS token FROM t),"
+    " b AS (SELECT doc_id, n,"
+    "  CAST('0x' || substr(md5(token), 1, 6) AS BIGINT) % 256 AS bucket FROM e),"
+    " cc AS (SELECT bucket, count(*) AS ccnt FROM b GROUP BY bucket),"
+    " tc AS (SELECT bucket, count(*) AS tcnt FROM b WHERE doc_id % 37 = 0 GROUP BY bucket),"
+    " w AS (SELECT cc.bucket, (COALESCE(tcnt, 0) * 1000000) // ccnt AS wppm"
+    "  FROM cc LEFT JOIN tc USING (bucket)),"
+    " s AS (SELECT doc_id, max(n) AS n_tokens, SUM(wppm) AS imp"
+    "  FROM b JOIN w USING (bucket) GROUP BY doc_id)"
+    " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+    "  CAST(imp AS BIGINT) AS importance_raw FROM s"
+    " UNION ALL SELECT doc_id, 0::BIGINT, 0::BIGINT FROM t WHERE len(tk) = 0",
+)
+def corpus_importance_scores(spark, sf):
+    """Importance-resampling scores: how target-like is each corpus
+    doc, by hashed-token count ratios."""
+    from .operators import importance as IMP
+
+    d = _t(spark, sf, "documents")
+    return IMP.importance_scores(
+        d, d.where(F.col("doc_id") % 37 == 0), "doc_id", "text", buckets=256
+    )
+
+
+# Unicode NFC normalization (operators/unicode_norm.py): decomposed
+# sequences are injected deterministically (every 'e' becomes
+# e + U+0301) so the normalizer has real work; the oracle replays the
+# injection and DuckDB's utf8proc NFC, matching CPython's UCD NFC
+# bit-for-bit (both implement UAX #15).
+@q(
+    "text_nfc_normalize",
+    "WITH d AS (SELECT doc_id,"
+    "  regexp_replace(text, 'e', 'e' || chr(769), 'g') AS t FROM documents)"
+    " SELECT doc_id, nfc_normalize(t) AS text_nfc,"
+    "  CAST(length(t) AS BIGINT) AS chars_pre,"
+    "  CAST(length(nfc_normalize(t)) AS BIGINT) AS chars_post FROM d",
+)
+def text_nfc_normalize(spark, sf):
+    """NFC normalization via an Arrow-batched pandas UDF — the
+    pre-hash canonicalization step every exact dedup needs."""
+    from .operators import unicode_norm as UN
+
+    d = _t(spark, sf, "documents")
+    decomposed = d.select(
+        "doc_id", F.regexp_replace("text", "e", "e\u0301").alias("text")
+    )
+    return UN.normalize_nfc(decomposed, "text").select(
+        "doc_id", "text_nfc", "chars_pre", "chars_post"
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
