@@ -107,3 +107,29 @@ def test_minhash_probe_touches_corpus_via_semi_join(spark):
     assert "LeftSemi" in p  # old corpus text read only for candidates
     for f in reg:
         f.unpersist()
+
+
+def test_classifier_broadcasts_weights_one_doc_shuffle(spark, qs):
+    # weight table rides a broadcast join; the only corpus-wide
+    # exchanges are the doc-keyed aggregation (+AQE coalesce reads);
+    # never a sort-merge join against the model.
+    p = _plan(qs["quality_classifier_score"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "SinglePartition" not in p
+
+
+def test_importance_weight_join_is_broadcast(spark, qs):
+    p = _plan(qs["corpus_importance_scores"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_nfc_normalize_is_a_narrow_map(spark):
+    # the normalizer must add ZERO exchanges: it scales exactly like
+    # the scan (ArrowEvalPython over the parquet read, nothing else).
+    from crawler_apple_podcast_spark.operators import unicode_norm as UN
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(UN.normalize_nfc(d, "text"))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
