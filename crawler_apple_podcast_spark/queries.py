@@ -3066,6 +3066,36 @@ def text_nfc_normalize(spark, sf):
     )
 
 
+# Gap-based sessionization (operators/sessions.py): split each user's
+# event stream at >4 h gaps, one row per session.  Microsecond integer
+# time arithmetic (unix_micros / epoch_us) keeps both engines exact;
+# the event-id tiebreak makes equal-timestamp order total.  The
+# session aggregate reuses the window's Exchange (plan-shape test).
+@q(
+    "events_sessionize",
+    "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),"
+    " l AS (SELECT user_id, event_id, us, lag(us) OVER"
+    "  (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM o),"
+    " b AS (SELECT user_id, event_id, us, CASE WHEN prev IS NULL"
+    "  OR us - prev > 14400000000::BIGINT THEN 1 ELSE 0 END AS brk FROM l),"
+    " s AS (SELECT user_id, event_id, us, SUM(brk) OVER"
+    "  (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)"
+    "  AS session_seq FROM b)"
+    " SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,"
+    "  count(*) AS n_events, min(event_id) AS first_id, max(event_id) AS last_id,"
+    "  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,"
+    "  CAST(max(us) - min(us) AS BIGINT) AS duration_us"
+    " FROM s GROUP BY user_id, session_seq",
+)
+def events_sessionize(spark, sf):
+    """Fetch-burst sessionization of the event log: per-user sessions
+    split at 4-hour gaps, aggregated to one integer row each."""
+    from .operators import sessions as SES
+
+    e = _t(spark, sf, "events")
+    return SES.session_stats(e, "user_id", "ts", 14400, "event_id")
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
