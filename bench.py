@@ -80,6 +80,12 @@ HEADLINE = [
     "warc_cdx_index",
     "text_boilerplate_strip",
     "crawl_revisit_schedule",
+    # round-4 final additions: the three remaining judged plan shapes —
+    # broadcast-model scoring (hashed-BoW classifier), Arrow-batched
+    # narrow map (Unicode NFC), and shared-Exchange sessionization
+    "quality_classifier_score",
+    "text_nfc_normalize",
+    "events_sessionize",
 ]
 
 
