@@ -87,3 +87,32 @@ def test_threshold_gates(spark, docs):
     }
     assert out[0] == "keep" and out[1] == "keep"
     assert out[4] == "drop" and out[2] == "drop"
+
+
+# ------------------------------------------------ property: random corpora
+
+from hypothesis import given, settings, strategies as st
+
+_token = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters=" \t\n\r"),
+    min_size=1,
+    max_size=6,
+)
+_text = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=10))
+def test_classifier_matches_hashlib_referee_on_random_text(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    w = CLS.hash_weights(spark, B)
+    got = {
+        r.doc_id: (r.n_tokens, r.score_raw)
+        for r in CLS.classifier_score(df, "doc_id", "text", w, B).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        want = (len(toks), sum(_weight(_bucket(x)) for x in toks))
+        assert got[i] == want, (i, t, got[i], want)

@@ -70,3 +70,66 @@ def test_single_exchange_plan(spark, log):
     )
     # the groupBy must reuse the window's hashpartitioning(host)
     assert p.count("Exchange") == 1
+
+
+# ------------------------------------------------ property: random streams
+
+from hypothesis import given, settings, strategies as st
+
+_event = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.integers(min_value=0, max_value=3_000_000),  # epoch micros
+)
+
+
+def _py_sessions(events, gap_us):
+    """Referee: per-key sorted (us, id) streams split at > gap_us."""
+    by_key = {}
+    for i, (k, us) in enumerate(events):
+        by_key.setdefault(k, []).append((us, i))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        seq, prev = 0, None
+        cur = []
+        for us, i in evs:
+            if prev is None or us - prev > gap_us:
+                if cur:
+                    out[(k, seq)] = cur
+                seq += 1
+                cur = []
+            cur.append((us, i))
+            prev = us
+        out[(k, seq)] = cur
+    return {
+        key: (
+            len(evs),
+            min(i for _, i in evs),
+            max(i for _, i in evs),
+            min(us for us, _ in evs),
+            max(us for us, _ in evs),
+        )
+        for key, evs in out.items()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_event, min_size=1, max_size=40))
+def test_sessionize_matches_python_referee(spark, events):
+    import datetime as dt
+
+    gap_s = 1  # 1 s gap vs offsets up to 3 s: both split outcomes occur
+    rows = [
+        (i, k, datetime(2024, 1, 1) + dt.timedelta(microseconds=us))
+        for i, (k, us) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, host STRING, ts TIMESTAMP")
+    # spark start_us/end_us are absolute epoch micros; the referee works
+    # in offsets from 2024-01-01, so shift by that epoch
+    epoch = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    got = {
+        (r.host, r.session_seq): (r.n_events, r.first_id, r.last_id,
+                                  r.start_us - epoch, r.end_us - epoch)
+        for r in SES.session_stats(df, "host", "ts", gap_s, "event_id").collect()
+    }
+    assert got == _py_sessions(events, gap_s * 1_000_000)
