@@ -145,3 +145,43 @@ def chunk_fill_stats(chunks: DataFrame) -> DataFrame:
     return chunks.groupBy("chunk_id").agg(
         F.count("*").alias("n_segments"), F.sum("seg_len").alias("fill")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Sliding-window document chunking: cut each doc's token array
+    into windows of ``max_len`` tokens starting every ``stride``
+    tokens (default ``stride = max_len`` -> disjoint chunks; a smaller
+    stride overlaps windows, the BERT/long-context fine-tuning shape
+    where ``pack_chunks`` above is the concat-and-chunk pre-training
+    shape).  Returns ``(id_col, chunk_idx, n_tokens, chunk_text)`` —
+    the final window may be shorter; empty docs emit no rows.
+
+    Scale shape: pure per-row codegen — ``sequence`` over window
+    starts, ``posexplode``, ``slice`` — a narrow map with fan-out
+    ~n_tokens/stride per doc and ZERO shuffles; chunking composes
+    with the shard writer's range repartition downstream.  No Python,
+    no window functions, no driver state.
+    """
+    if stride is None:
+        stride = max_len
+    if stride <= 0 or max_len <= 0:
+        raise ValueError(f"max_len and stride must be positive, got {max_len}, {stride}")
+    n = F.size(tokens_col)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    t = docs.select(F.col(id_col), F.col(tokens_col).alias("_tk"), starts.alias("_st"))
+    ex = t.select(id_col, "_tk", F.posexplode("_st").alias("_ci", "_s"))
+    chunk = F.slice(F.col("_tk"), F.col("_s") + 1, max_len)
+    return ex.select(
+        id_col,
+        F.col("_ci").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

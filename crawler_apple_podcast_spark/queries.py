@@ -1333,8 +1333,9 @@ def sitemap_ingest(spark, sf):
 # iteration from the stride-sampled codebook; the oracle chains the
 # same init -> assign -> per-dim integer sums (empty cells keep the
 # previous centroid) -> reassign as CTEs.
-@q(
-    "cluster_kmeans",
+# One Lloyd iteration (k=8) as chained CTEs ending in a2(vec_id, cell)
+# — shared by cluster_kmeans and the SemDeDup oracle.
+_KMEANS_CTES = (
     "WITH e0 AS (SELECT vec_id,"
     " list_transform(embedding::DOUBLE[], x -> floor(x*1000+0.5)) AS qe FROM embeddings),"
     " st AS (SELECT greatest(1, count(*) // 8) AS s FROM e0),"
@@ -1352,7 +1353,12 @@ def sitemap_ingest(spark, sf):
     " / sqrt(list_dot_product(cf.cv, cf.cv)) AS score FROM e0 CROSS JOIN cf),"
     " a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER"
     " (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc2) WHERE rn = 1)"
-    " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2",
+)
+
+
+@q(
+    "cluster_kmeans",
+    _KMEANS_CTES + " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2",
 )
 def cluster_kmeans(spark, sf):
     """One Lloyd iteration of cosine k-means (k=8) from the
@@ -3094,6 +3100,84 @@ def events_sessionize(spark, sf):
 
     e = _t(spark, sf, "events")
     return SES.session_stats(e, "user_id", "ts", 14400, "event_id")
+
+
+# SemDeDup (operators/clustering.py semantic_dedup): one Lloyd
+# iteration clusters the embeddings, then within-cluster quantized
+# cosine >= 300 milli drops the higher id of each near-pair
+# (keep-first).  The oracle chains the shared k-means CTEs with the
+# within-cell pair join — every step exact integers / correctly
+# rounded IEEE, so keep flags bit-match.
+@q(
+    "dedup_semantic",
+    _KMEANS_CTES
+    + ", qn AS (SELECT vec_id, qe, list_dot_product(qe, qe) AS nq FROM e0"
+    " WHERE list_dot_product(qe, qe) > 0),"
+    " pr AS (SELECT DISTINCT y.vec_id AS vb FROM a2 x JOIN a2 y"
+    " ON x.cell = y.cell AND x.vec_id < y.vec_id"
+    " JOIN qn qa ON qa.vec_id = x.vec_id JOIN qn qb ON qb.vec_id = y.vec_id"
+    " WHERE floor(1000.0 * list_dot_product(qa.qe, qb.qe)"
+    " / (sqrt(qa.nq) * sqrt(qb.nq))) >= 300)"
+    " SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cell,"
+    " pr.vb IS NULL AS keep FROM a2 LEFT JOIN pr ON a2.vec_id = pr.vb",
+)
+def dedup_semantic(spark, sf):
+    """SemDeDup: k-means cells (k=8, one Lloyd iteration) ->
+    within-cell cosine near-dup removal, keep-first rule."""
+    return CL.semantic_dedup(_t(spark, sf, "embeddings"), k=8, threshold_milli=300, dim=64)
+
+
+# Compaction planning (operators/compaction.py): the file manifest is
+# synthesized closed-form from documents (part = source, bytes = 100 +
+# length(text)); bins are aligned to 2048-byte boundaries of the
+# per-partition exclusive running size.  The lag-window prefix sum and
+# the (part, bin) groupBy share one Exchange.
+@q(
+    "maint_compaction_plan",
+    "WITH f AS (SELECT source AS part, doc_id AS file_id,"
+    " CAST(100 + length(text) AS BIGINT) AS bytes FROM documents),"
+    " c AS (SELECT part, file_id, bytes, COALESCE(SUM(bytes) OVER"
+    " (PARTITION BY part ORDER BY file_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM f)"
+    " SELECT part, CAST(pre // 2048 AS BIGINT) AS bin,"
+    " CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,"
+    " min(file_id) AS first_file, max(file_id) AS last_file,"
+    " count(*) > 1 AS compact FROM c GROUP BY part, bin",
+)
+def maint_compaction_plan(spark, sf):
+    """Iceberg-style small-file compaction groups over a synthesized
+    manifest: boundary-aligned binpack per table partition."""
+    from .operators import compaction as CP
+
+    d = _t(spark, sf, "documents")
+    files = d.select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        (F.lit(100) + F.length("text")).cast("long").alias("bytes"),
+    )
+    return CP.compaction_plan(files, target_bytes=2048)
+
+
+# Sliding-window document chunking (operators/packing.py
+# chunk_documents): 16-token windows every 8 tokens over the
+# whitespace tokenization — the fine-tuning counterpart of the
+# concat-and-chunk pack_chunks entry.  Pure codegen fan-out, zero
+# shuffles; the oracle replays slice arithmetic on DuckDB lists.
+@q(
+    "text_chunk_windows",
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')"
+    " AS tk FROM documents)"
+    " SELECT doc_id, CAST(s // 8 AS BIGINT) AS chunk_idx,"
+    " CAST(least(16, len(tk) - s) AS BIGINT) AS n_tokens,"
+    " array_to_string(tk[s+1 : s+16], ' ') AS chunk_text"
+    " FROM t, unnest(generate_series(0, len(tk) - 1, 8)) AS u(s)",
+)
+def text_chunk_windows(spark, sf):
+    """Overlapping training windows: max_len=16, stride=8 over each
+    doc's token array."""
+    d = _t(spark, sf, "documents")
+    t = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
+    return PK.chunk_documents(t, max_len=16, stride=8)
 
 
 # ------------------------------------------------------------- accessors

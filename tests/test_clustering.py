@@ -62,3 +62,54 @@ def test_empty_cell_keeps_previous_centroid(spark):
     assert len(got) == 12
     assert np.isfinite(cents).all()
     assert not np.array_equal(cents, np.zeros_like(cents))
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, planted):
+    """Plant exact copies of vectors 0 and 50 (each planted cluster's
+    minimum id) under new ids; the copies land in the same k-means cell
+    as their originals (identical vectors), cosine 1000 >= threshold,
+    the copies are dropped, the originals survive (keep-first), and in
+    every cell the minimum surviving id is kept."""
+    dups = planted.where(F.col("vec_id").isin(0, 50)).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    out = CL.semantic_dedup(
+        planted.unionByName(dups), k=4, threshold_milli=990, n_iter=1, dim=16
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 202
+    assert not rows[1000].keep and not rows[1050].keep
+    assert rows[0].keep and rows[50].keep
+    # the copy shares its original's cell by construction
+    assert rows[1000].cell == rows[0].cell
+    assert rows[1050].cell == rows[50].cell
+    # keep-first: each cell's minimum id always survives
+    by_cell: dict[int, list] = {}
+    for r in rows.values():
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        assert min(m.vec_id for m in members) in {
+            m.vec_id for m in members if m.keep
+        }
+
+
+def test_semantic_dedup_scopes_pairs_to_cells_and_keeps_zero_norm(spark):
+    """Two identical vectors forced into DIFFERENT cells are both kept
+    (the rule is within-cell only), and a zero vector is always kept
+    (cosine undefined, joins no pairs)."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),        # cell A twins
+        (2, [0.0, 1.0]), (3, [0.0, 1.0]),        # cell B twins
+        (4, [0.0, 0.0]),                          # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.vec_id: r for r in CL.semantic_dedup(df, k=2, threshold_milli=990, dim=2).collect()}
+    assert out[0].keep and not out[1].keep
+    assert out[2].keep and not out[3].keep
+    assert out[4].keep
+    # cross-cell: 0/1 vs 2/3 are orthogonal, never paired anyway, but
+    # the within-cell scoping is what kept 2 despite 0 being "first"
+    assert out[0].cell != out[2].cell

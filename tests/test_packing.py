@@ -12,6 +12,7 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from crawler_apple_podcast_spark.operators.packing import (
+    chunk_documents,
     chunk_fill_stats,
     global_token_starts,
     pack_training_chunks,
@@ -118,3 +119,67 @@ def test_segments_reassemble_docs(spark):
     )
     for r in per_doc:
         assert r.first_off == 0 and r.tot == toks[r.doc_id] == r.end
+
+
+# ------------------------------------------- sliding-window chunking
+
+
+def _ref_chunks(tokens, max_len, stride):
+    out = []
+    for s in range(0, len(tokens), stride):
+        win = tokens[s : s + max_len]
+        out.append((s // stride, len(win), " ".join(win)))
+    return out
+
+
+def _tok_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, list(tk)) for i, tk in docs.items()],
+        "doc_id LONG, tokens ARRAY<STRING>",
+    )
+
+
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 30),
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dddd"]), max_size=25),
+        min_size=1,
+        max_size=8,
+    ),
+    max_len=st.integers(1, 9),
+    overlap=st.integers(0, 8),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_documents_matches_referee(spark, docs, max_len, overlap):
+    stride = max(1, max_len - overlap)
+    got = {}
+    rows = chunk_documents(_tok_df(spark, docs), max_len, stride).collect()
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+    for d in got.values():
+        d.sort()
+    want = {
+        i: _ref_chunks(tk, max_len, stride) for i, tk in docs.items() if tk
+    }
+    assert got == want
+
+
+def test_chunk_documents_disjoint_default_and_empty_docs(spark):
+    df = _tok_df(spark, {0: [str(i) for i in range(10)], 1: []})
+    rows = chunk_documents(df, max_len=4).collect()
+    assert {r.doc_id for r in rows} == {0}  # empty doc emits nothing
+    texts = [r.chunk_text for r in sorted(rows, key=lambda r: r.chunk_idx)]
+    # default stride == max_len: disjoint cover, short tail
+    assert texts == ["0 1 2 3", "4 5 6 7", "8 9"]
+    assert [r.n_tokens for r in sorted(rows, key=lambda r: r.chunk_idx)] == [4, 4, 2]
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    df = _tok_df(spark, {0: ["a", "b", "c"]})
+    p = (
+        chunk_documents(df, 2, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
