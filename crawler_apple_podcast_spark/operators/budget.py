@@ -76,3 +76,36 @@ def apportion_budget(
         .cast("long")
         .alias("alloc"),
     )
+
+
+def mixture_apportion(
+    counts: DataFrame,
+    total: int,
+    key_col: str = "source",
+    count_col: str = "n_docs",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Temperature-scaled training-mixture apportionment: per-source
+    sampling quotas ``alloc`` with ``sum(alloc) == total``,
+    proportional to ``count^(1/2)`` — the classic multilingual /
+    source-mixing temperature move (tau = 0.5 flattens the head so
+    low-resource sources keep representation; tau = 1 is plain
+    proportional, already ``apportion_budget``).
+
+    Exactness: ``sqrt`` of an integer is ONE correctly-rounded IEEE op
+    and the half-up milli quantizer is the repo-wide convention, so
+    the integer weights — and therefore the largest-remainder
+    allocation — replay bit-identically in the SQL oracle.  Scale
+    shape is ``apportion_budget``'s: one shuffle of the (tiny) source
+    dimension plus two broadcastable aggregates."""
+    w = counts.select(
+        key_col,
+        F.col(count_col).cast("long").alias("n"),
+        F.floor(F.sqrt(F.col(count_col).cast("double")) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("weight"),
+    )
+    out = apportion_budget(w, total, key_col, "weight", n_buckets)
+    return out.join(w.select(key_col, "n"), key_col).select(
+        key_col, "n", "weight", "alloc"
+    )

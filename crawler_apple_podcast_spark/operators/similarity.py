@@ -151,6 +151,58 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame, threshold_milli: int = 800, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Asymmetric shingle containment: DIRECTED pairs ``(doc_in,
+    doc_of, containment_milli)`` where ``|S(doc_in) ∩ S(doc_of)| *
+    1000 div |S(doc_in)| >= threshold`` — near-SUBSET detection that
+    symmetric Jaccard misses: a long page quoting a short one whole
+    scores low Jaccard (union is dominated by the long side) but
+    containment ~1000 for the short side, which is the signal for
+    quote-and-wrap mirrors and template embeddings.
+
+    Cost model mirrors ``jaccard_pairs``: the all-pairs shingle
+    self-join is the oracle path; pass ``candidates`` (doc_a/doc_b
+    rows, e.g. LSH buckets or ``repeated_span_report`` hits) to keep
+    the intersection count linear in the candidate set.  Note MinHash
+    bands under-recall high-containment/low-Jaccard pairs by design —
+    span-window candidates are the right prune for this operator at
+    corpus scale."""
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if candidates is None:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    base = inter.join(na, "doc_a").join(nb, "doc_b")
+    fwd = base.select(
+        F.col("doc_a").alias("doc_in"),
+        F.col("doc_b").alias("doc_of"),
+        idiv(F.col("inter") * F.lit(1000), F.col("na")).alias("containment_milli"),
+    )
+    rev = base.select(
+        F.col("doc_b").alias("doc_in"),
+        F.col("doc_a").alias("doc_of"),
+        idiv(F.col("inter") * F.lit(1000), F.col("nb")).alias("containment_milli"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment_milli") >= threshold_milli)
+
+
 # -------------------------------------------------------------- MinHash
 
 

@@ -832,7 +832,9 @@ def dedup_exact_hash(spark, sf):
     return S.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-_SHINGLE_CTE = (
+# Shared shingle CTE chain (toks -> distinct shingles -> per-doc counts
+# -> pair intersections) feeding the Jaccard AND containment oracles.
+_SHINGLE_BASE = (
     "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk"
     " FROM documents),"
     " sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),"
@@ -841,7 +843,11 @@ _SHINGLE_CTE = (
     " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i_cnt"
     " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
     " GROUP BY 1, 2)"
-    " SELECT doc_a, doc_b, (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) AS jaccard_milli"
+)
+
+_SHINGLE_CTE = (
+    _SHINGLE_BASE
+    + " SELECT doc_a, doc_b, (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) AS jaccard_milli"
     " FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
     " WHERE (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) >= {thr}"
 )
@@ -3178,6 +3184,55 @@ def text_chunk_windows(spark, sf):
     d = _t(spark, sf, "documents")
     t = d.select("doc_id", T.tokens(F.col("text")).alias("tokens"))
     return PK.chunk_documents(t, max_len=16, stride=8)
+
+
+# Asymmetric shingle containment (similarity.py containment_pairs):
+# directed near-subset pairs |A∩B|/|A| that symmetric Jaccard misses;
+# oracle reuses the shared shingle CTEs with a per-direction UNION.
+@q(
+    "dedup_containment",
+    _SHINGLE_BASE
+    + ", d AS (SELECT doc_a AS doc_in, doc_b AS doc_of,"
+    " (i_cnt * 1000) // ca.n_sh AS containment_milli"
+    " FROM inter JOIN cnt ca ON ca.doc_id = doc_a"
+    " UNION ALL SELECT doc_b, doc_a, (i_cnt * 1000) // cb.n_sh"
+    " FROM inter JOIN cnt cb ON cb.doc_id = doc_b)"
+    " SELECT doc_in, doc_of, containment_milli FROM d"
+    " WHERE containment_milli >= 500",
+)
+def dedup_containment(spark, sf):
+    """Directed shingle-containment pairs at >= 500 milli — the
+    quote-and-wrap / template-embedding detector."""
+    sh = S.shingle_rows(_t(spark, sf, "documents"), "doc_id", "text", 3)
+    return S.containment_pairs(sh, 500)
+
+
+# Temperature-scaled mixture apportionment (operators/budget.py
+# mixture_apportion): per-source sampling quotas proportional to
+# sqrt(count) (tau = 0.5), largest-remainder so sum(alloc) == 100000
+# exactly.  sqrt of an integer + the half-up milli quantizer replay
+# bit-identically in SQL.
+@q(
+    "mixture_temperature_alloc",
+    "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(floor(sqrt(count(*)) * 1000 + 0.5) AS BIGINT) AS weight"
+    "  FROM documents GROUP BY source),"
+    " t AS (SELECT SUM(weight) AS sw FROM s),"
+    " q AS (SELECT source, n, weight, (weight * 100000) // sw AS base,"
+    "  (weight * 100000) % sw AS rem FROM s, t),"
+    " l AS (SELECT 100000 - SUM(base) AS leftover FROM q),"
+    " r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)"
+    " SELECT source, n, weight, CAST(base + CASE WHEN rk <= leftover"
+    "  THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r, l",
+)
+def mixture_temperature_alloc(spark, sf):
+    """tau=0.5 training-mixture quotas over document sources,
+    Hamilton-apportioned to a 100k-doc sampling budget."""
+    from .operators.budget import mixture_apportion
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return mixture_apportion(counts, total=100_000)
 
 
 # ------------------------------------------------------------- accessors

@@ -74,3 +74,28 @@ def test_rejects_bad_args(spark):
         apportion_budget(df, -1)
     with pytest.raises(ValueError):
         apportion_budget(df, 10, n_buckets=7)
+
+
+# ------------------------------------------- temperature mixture
+
+
+def test_mixture_apportion_flattens_and_sums_exact(spark):
+    """tau=0.5 quotas: exact total, and the head/tail alloc ratio is
+    ~sqrt of the count ratio (flattened), not the count ratio."""
+    import math
+
+    from crawler_apple_podcast_spark.operators.budget import mixture_apportion
+
+    counts = {"big": 1_000_000, "mid": 10_000, "small": 100}
+    df = spark.createDataFrame(
+        list(counts.items()), "source string, n_docs long"
+    )
+    out = {r.source: r for r in mixture_apportion(df, 10_000).collect()}
+    assert sum(r.alloc for r in out.values()) == 10_000
+    for k, n in counts.items():
+        assert out[k].n == n
+        assert out[k].weight == math.floor(math.sqrt(n) * 1000 + 0.5)
+    # proportional would give small ~1 of 10k; sqrt gives ~90
+    assert out["small"].alloc >= 80
+    ratio = out["big"].alloc / out["small"].alloc
+    assert abs(ratio - math.sqrt(counts["big"] / counts["small"])) < 2

@@ -542,3 +542,40 @@ def test_repeated_span_intra_doc_repeat_counts(spark):
     docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
     [r] = S.repeated_span_report(docs, n=8).collect()
     assert r.n_dup_windows >= 2  # both occurrences count as duplicated
+
+
+def test_containment_directed_asymmetry(spark):
+    """A long doc fully containing a short one: the short side's
+    containment is 1000 while symmetric Jaccard is low; the long
+    side's containment equals inter/long_size."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c x y z w q r s"), (3, "p q")],
+        "doc_id INT, text STRING",
+    )
+    sh = S.shingle_rows(df, "doc_id", "text", 2)
+    # doc1 grams {ab,bc}; doc2 grams {ab,bc,cx,xy,yz,zw,wq,qr,rs}
+    out = {
+        (r.doc_in, r.doc_of): r.containment_milli
+        for r in S.containment_pairs(sh, 0).collect()
+    }
+    assert out[(1, 2)] == 1000          # doc1 ⊂ doc2 entirely
+    assert out[(2, 1)] == 2000 // 9     # 2 of 9 grams
+    assert (3, 1) not in out and (1, 3) not in out
+    # Jaccard would miss this pair at any >=300 threshold: 2/9 -> 222
+    jac = {(r.doc_a, r.doc_b) for r in S.jaccard_pairs(sh, 300).collect()}
+    assert (1, 2) not in jac
+
+
+def test_containment_candidates_restrict(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c e")],
+        "doc_id INT, text STRING",
+    )
+    sh = S.shingle_rows(df, "doc_id", "text", 2)
+    cand = spark.createDataFrame([(1, 2)], "doc_a INT, doc_b INT")
+    got = {
+        (r.doc_in, r.doc_of)
+        for r in S.containment_pairs(sh, 0, candidates=cand).collect()
+    }
+    # only the candidate pair is scored, both directions emitted
+    assert got == {(1, 2), (2, 1)}
