@@ -118,3 +118,59 @@ def due_frontier(
     return schedule.where(F.col("next_due") <= current_wave).select(
         url_col, "next_due"
     )
+
+
+def content_history(
+    history: DataFrame,
+    url_col: str = "url",
+    wave_col: str = "wave",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """SCD2 content-version history: collapse the per-wave fetch log
+    into one row per (url, version) — ``(url, version, fingerprint,
+    valid_from_wave, valid_to_wave, n_obs)`` where a new version opens
+    whenever the content fingerprint differs from the previous fetch
+    of the same URL and ``valid_to_wave`` is NULL for the current
+    version (half-open validity: a version covers waves
+    ``[valid_from, valid_to]`` inclusive, ``valid_to`` = the wave
+    before the next version's first observation).  This is the
+    warehouse-side "what did this page say at wave W" index that
+    snapshot_diff (pairwise) can't answer.
+
+    Spark shape: ONE url-keyed Exchange end to end.  The change flag
+    is a ``lag`` window over (url, wave); the cumulative version
+    number a running sum over the same window spec; the per-(url,
+    version) aggregate groups by a superset of the window partition
+    key; and the closing ``lead`` window on the aggregated frame is
+    again url-partitioned — Catalyst reuses the first Exchange for
+    all four (same guarantee plan-asserted for sessions/revisit).
+    Assumes one fetch per (url, wave) — the wave loop's fetch log
+    shape; ties would make lag order nondeterministic.
+    """
+    w = Window.partitionBy(url_col).orderBy(wave_col)
+    chg = F.when(
+        F.lag(fp_col).over(w).isNull()
+        | (F.col(fp_col) != F.lag(fp_col).over(w)),
+        1,
+    ).otherwise(0)
+    versioned = history.select(
+        url_col, wave_col, fp_col, chg.alias("_chg")
+    ).withColumn(
+        "version",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    agg = versioned.groupBy(url_col, "version").agg(
+        # fp is constant within a version by construction; min() rather
+        # than first() so the aggregate is order-insensitive on both
+        # engines
+        F.min(fp_col).alias("fingerprint"),
+        F.min(wave_col).cast("long").alias("valid_from_wave"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    vw = Window.partitionBy(url_col).orderBy("version")
+    return agg.withColumn(
+        "valid_to_wave", F.lead("valid_from_wave").over(vw) - F.lit(1)
+    ).select(
+        url_col, "version", "fingerprint",
+        "valid_from_wave", "valid_to_wave", "n_obs",
+    )

@@ -3235,6 +3235,106 @@ def mixture_temperature_alloc(spark, sf):
     return mixture_apportion(counts, total=100_000)
 
 
+# SCD2 content-version history (operators/recrawl.py content_history):
+# the fetch log is synthesized closed-form from events (200 URLs, one
+# fetch per wave, fingerprint advances every 3 waves) and collapsed to
+# one row per content version with [valid_from, valid_to] wave spans.
+@q(
+    "crawl_content_history",
+    "WITH h AS (SELECT 'u' || (event_id % 200) AS url, event_id // 200 AS wave,"
+    "  ((event_id % 200) * 31 + (event_id // 200) // 3) % 7 AS fp FROM events),"
+    " l AS (SELECT url, wave, fp, lag(fp) OVER (PARTITION BY url ORDER BY wave)"
+    "  AS pfp FROM h),"
+    " v AS (SELECT url, wave, fp, SUM(CASE WHEN pfp IS NULL OR fp <> pfp"
+    "  THEN 1 ELSE 0 END) OVER (PARTITION BY url ORDER BY wave"
+    "  ROWS UNBOUNDED PRECEDING) AS version FROM l),"
+    " a AS (SELECT url, CAST(version AS BIGINT) AS version,"
+    "  CAST(MIN(fp) AS BIGINT) AS fingerprint,"
+    "  CAST(MIN(wave) AS BIGINT) AS valid_from_wave, COUNT(*) AS n_obs"
+    "  FROM v GROUP BY url, version)"
+    " SELECT url, version, fingerprint, valid_from_wave,"
+    "  CAST(lead(valid_from_wave) OVER (PARTITION BY url ORDER BY version) - 1"
+    "  AS BIGINT) AS valid_to_wave, n_obs FROM a",
+)
+def crawl_content_history(spark, sf):
+    """SCD2 page-content versioning over a synthetic fetch log — the
+    'what did this page say at wave W' index."""
+    from .operators.recrawl import content_history
+
+    e = _t(spark, sf, "events")
+    uk = F.pmod("event_id", F.lit(200)).cast("long")
+    h = e.select(
+        F.concat(F.lit("u"), uk.cast("string")).alias("url"),
+        F.expr("event_id div 200").alias("wave"),
+        F.pmod(uk * 31 + F.expr("(event_id div 200) div 3"), F.lit(7))
+        .cast("long")
+        .alias("fingerprint"),
+    )
+    return content_history(h)
+
+
+# Mergeable HLL distinct counting (operators/sketches.py): the driver
+# row asserts the sketch-accuracy INVARIANT (|est - exact| <= 5%) as a
+# boolean the oracle predicts as TRUE, since DataSketches estimates
+# can't byte-match DuckDB's sketch family; the merge law (union of
+# per-wave sketches == sketch of the union) is pytest-asserted.
+@q(
+    "host_distinct_urls_hll",
+    "SELECT 'h' || (event_id % 25) AS host,"
+    " count(DISTINCT '/p' || (user_id % 500)) AS n_distinct,"
+    " TRUE AS within_tol FROM events GROUP BY host",
+)
+def host_distinct_urls_hll(spark, sf):
+    """Per-host distinct-URL cardinality: exact count next to the HLL
+    sketch estimate's 5%-tolerance invariant."""
+    from .operators import sketches as SK
+
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.concat(F.lit("h"), F.pmod("event_id", F.lit(25)).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("/p"), F.pmod("user_id", F.lit(500)).cast("string")).alias(
+            "url"
+        ),
+    )
+    return SK.distinct_within_tolerance(urls, ["host"], "url", tol_milli=50)
+
+
+# Corpus drift monitoring (operators/drift.py): even-doc_id docs play
+# the "current wave", odd the reference; buckets are 100-char length
+# bands capped at 9.  Integer chi-square-style f-divergence per
+# bucket — exact on both engines, unlike PSI/KL logs.
+@q(
+    "corpus_drift_histogram",
+    "WITH cur AS (SELECT least(n_chars // 100, 9) AS bucket, count(*) AS n_cur"
+    "  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),"
+    " ref AS (SELECT least(n_chars // 100, 9) AS bucket, count(*) AS n_ref"
+    "  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),"
+    " t AS (SELECT (SELECT CAST(SUM(n_cur) AS BIGINT) FROM cur) AS ta,"
+    "  (SELECT CAST(SUM(n_ref) AS BIGINT) FROM ref) AS tb),"
+    " j AS (SELECT COALESCE(cur.bucket, ref.bucket) AS bucket,"
+    "  COALESCE(n_cur, 0) AS n_cur, COALESCE(n_ref, 0) AS n_ref"
+    "  FROM cur FULL OUTER JOIN ref ON cur.bucket = ref.bucket)"
+    " SELECT CAST(bucket AS BIGINT) AS bucket, n_cur, n_ref,"
+    "  (n_cur * 1000) // ta AS cur_milli, (n_ref * 1000) // tb AS ref_milli,"
+    "  COALESCE(((n_cur * 1000) // ta - (n_ref * 1000) // tb)"
+    "   * ((n_cur * 1000) // ta - (n_ref * 1000) // tb)"
+    "   // nullif((n_cur * 1000) // ta + (n_ref * 1000) // tb, 0), 0)"
+    "  AS contrib_milli FROM j, t",
+)
+def corpus_drift_histogram(spark, sf):
+    """Wave-over-wave corpus drift: per-length-band share deltas and
+    integer drift contributions."""
+    from .operators.drift import histogram_drift
+
+    d = _t(spark, sf, "documents")
+    bucket = F.least(F.expr("n_chars div 100"), F.lit(9)).cast("long").alias("bucket")
+    cur = d.where(F.pmod("doc_id", F.lit(2)) == 0).select(bucket)
+    ref = d.where(F.pmod("doc_id", F.lit(2)) == 1).select(bucket)
+    return histogram_drift(cur, ref)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -71,3 +71,58 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.url: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {"a": "same", "b": "changed", "c": "gone", "d": "new"}
+
+
+# --------------------------------------------- SCD2 content history
+
+
+def _ref_history(rows):
+    """Python referee: rows = [(url, wave, fp)] -> {(url, version):
+    (fp, valid_from, valid_to, n_obs)}."""
+    by_url: dict[str, list[tuple[int, int]]] = {}
+    for u, w, fp in rows:
+        by_url.setdefault(u, []).append((w, fp))
+    out = {}
+    for u, obs in by_url.items():
+        obs.sort()
+        versions: list[list[tuple[int, int]]] = []
+        for w, fp in obs:
+            if not versions or versions[-1][-1][1] != fp:
+                versions.append([])
+            versions[-1].append((w, fp))
+        for i, v in enumerate(versions, start=1):
+            valid_to = versions[i][0][0] - 1 if i < len(versions) else None
+            out[(u, i)] = (v[0][1], v[0][0], valid_to, len(v))
+    return out
+
+
+def test_content_history_matches_referee(spark, history):
+    from crawler_apple_podcast_spark.operators.recrawl import content_history
+
+    rows = [(r.url, r.wave, r.fingerprint) for r in history.collect()]
+    got = {
+        (r.url, r.version): (
+            r.fingerprint, r.valid_from_wave, r.valid_to_wave, r.n_obs
+        )
+        for r in content_history(history).collect()
+    }
+    assert got == _ref_history(rows)
+    # spot-check semantics: u_hot has one version per wave, closed
+    # spans except the last
+    hot = sorted(k for k in got if k[0] == "u_hot")
+    assert len(hot) == 4
+    assert [got[k][2] for k in hot] == [0, 1, 2, None]
+    # u_static is one open version covering all 5 observations
+    assert got[("u_static", 1)] == (7, 0, None, 5)
+
+
+def test_content_history_single_exchange(spark, history):
+    from crawler_apple_podcast_spark.operators.recrawl import content_history
+
+    p = (
+        content_history(history)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1
