@@ -73,8 +73,10 @@ def oracle_sql() -> dict[str, str]:
     ``queries()`` key has a full value oracle — including
     ``dedup_simhash`` (arithmetic bit family replayed as SQL literals)
     and ``ann_lsh_bucketed`` (integer hyperplanes embedded as list
-    literals) — except ``dedup_simhash_prod`` (xxhash64 token hashing,
-    not replayable in DuckDB; its oracle-gated twin is ``dedup_simhash``
-    with the identical plan shape, and pytest asserts the packed
-    fingerprint aggregate is bit-identical across both bit families)."""
+    literals) — except two rows-only entries: ``dedup_simhash_prod``
+    (xxhash64 token hashing, not replayable in DuckDB; its oracle-gated
+    twin is ``dedup_simhash`` with the identical plan shape, and pytest
+    asserts the packed fingerprint aggregate is bit-identical across
+    both bit families) and ``text_compression_signal`` (zlib isn't SQL;
+    a direct-zlib pytest referee covers the values)."""
     return _catalog.oracle_sql()
