@@ -297,3 +297,30 @@ def host_rate_metrics(
             "top_priority",
         )
     )
+
+
+def ttl_dedup_stream(
+    candidates: DataFrame,
+    ttl: str = "10 minutes",
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "discovered_ts",
+) -> DataFrame:
+    """TTL-bounded streaming dedupe: keep the first arrival of each key
+    within the watermark horizon via ``dropDuplicatesWithinWatermark``
+    — re-discovery storms of one URL (hub pages re-emitting their
+    outlinks every refresh) are suppressed while the key's state lives,
+    and the state store stays bounded by ``arrival_rate x ttl`` instead
+    of growing with the URL universe.
+
+    Contract vs the exact seen set: ``process_candidate_batch``'s
+    disk-backed ledger is the FOREVER dedupe (exact, replay-idempotent,
+    unbounded key space on disk); this operator is admission control in
+    managed state — a key re-arriving after the watermark passes its
+    last occurrence + ttl is emitted again by design.  Compose both:
+    TTL dedupe upstream shrinks each micro-batch before the exact
+    ledger anti-join pays disk reads.  (Spark drops state keys once the
+    watermark clears them — the same bounded-state argument as the
+    windowed host metrics above.)"""
+    return candidates.withWatermark(ts_col, ttl).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -254,3 +254,55 @@ def test_stream_snapshot_replay_is_exactly_once(spark, tmp_path):
     process_candidate_batch(spark, batch, 0, cfg)
     assert store.last_committed_wave() == 0
     assert store.read_table("scheduled").count() == 2
+
+
+# --------------------------------------------------- TTL dedupe (ST5)
+
+
+def _run_ttl_pass(spark, src, tmp, rows):
+    from crawler_apple_podcast_spark.streaming.frontier_stream import (
+        ttl_dedup_stream,
+    )
+
+    _write_candidates(spark, src, rows)
+    stream = (
+        spark.readStream.schema(CANDIDATE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(src)
+    )
+    q = (
+        ttl_dedup_stream(stream, ttl="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/ttl_out")
+        .option("checkpointLocation", f"{tmp}/ttl_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (r.url, str(r.discovered_ts)) for r in spark.read.parquet(f"{tmp}/ttl_out").collect()
+    )
+
+
+def test_ttl_dedup_suppresses_within_horizon_readmits_after(spark, tmp_path):
+    import datetime
+
+    tmp, src = str(tmp_path), f"{tmp_path}/ttl_src"
+    t = lambda m: datetime.datetime(2024, 5, 23, 12, 0, 0) + datetime.timedelta(minutes=m)  # noqa: E731
+
+    # pass 1: A and B first seen
+    out1 = _run_ttl_pass(spark, src, tmp, [("https://a.example/x", 0, t(0)),
+                                           ("https://b.example/y", 0, t(0))])
+    assert [u for u, _ in out1] == ["https://a.example/x", "https://b.example/y"]
+
+    # pass 2: A re-arrives 5 min later (inside TTL: suppressed),
+    # C is new (emitted); watermark advances to ~12:50
+    out2 = _run_ttl_pass(spark, src, tmp, [("https://a.example/x", 0, t(5)),
+                                           ("https://c.example/z", 0, t(60))])
+    urls2 = [u for u, _ in out2]
+    assert urls2.count("https://a.example/x") == 1   # only the pass-1 row
+    assert "https://c.example/z" in urls2
+
+    # pass 3: A re-arrives long after its state expired: emitted again
+    out3 = _run_ttl_pass(spark, src, tmp, [("https://a.example/x", 0, t(90))])
+    assert [u for u, _ in out3].count("https://a.example/x") == 2
