@@ -133,3 +133,46 @@ def test_nfc_normalize_is_a_narrow_map(spark):
     p = _plan(UN.normalize_nfc(d, "text"))
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p
+
+
+def test_semantic_dedup_joins_on_cell_never_cartesian(spark, qs):
+    # SemDeDup's pair stage must be an equi-join on the cluster cell,
+    # never an all-pairs product over the corpus.
+    p = _plan(qs["dedup_semantic"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_containment_shares_shingle_equijoin(spark, qs):
+    # candidate generation is the shingle equi-join (same machinery as
+    # Jaccard); directed expansion adds no extra join of the corpus.
+    p = _plan(qs["dedup_containment"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_drift_histogram_aggregates_before_joining(spark, qs):
+    # both snapshots reduce to bounded bucket tables BEFORE any join;
+    # the totals ride 1-row broadcast nested loops (allowed), but the
+    # corpus itself is only ever under HashAggregate.
+    p = _plan(qs["corpus_drift_histogram"](spark, SF))
+    assert "CartesianProduct" not in p
+    # partial aggregation happens at the scan side (map-side combine)
+    assert p.count("HashAggregate") >= 4
+
+
+def test_chunk_windows_zero_exchange_from_parquet(spark, qs):
+    p = _plan(qs["text_chunk_windows"](spark, SF))
+    assert "Exchange" not in p
+
+
+def test_content_history_single_url_exchange(spark, qs):
+    p = _plan(qs["crawl_content_history"](spark, SF))
+    assert p.count("Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_compaction_plan_single_part_exchange(spark, qs):
+    p = _plan(qs["maint_compaction_plan"](spark, SF))
+    assert p.count("Exchange") == 1
+    assert "SinglePartition" not in p
