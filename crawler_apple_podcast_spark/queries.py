@@ -3335,6 +3335,42 @@ def corpus_drift_histogram(spark, sf):
     return histogram_drift(cur, ref)
 
 
+# As-of join (operators/asof.py): each fetch event picks up the
+# policy version active at its time — union + keyed window, never a
+# range product.  Hosts 15-19 have no versions (NULL attrs, left
+# semantics); versions land every 5 ticks per host.  DuckDB has a
+# native ASOF JOIN, which IS the oracle.
+@q(
+    "crawl_asof_policy",
+    "WITH l AS (SELECT event_id % 20 AS host, event_id // 20 AS t, event_id"
+    "  FROM events),"
+    " r AS (SELECT event_id % 20 AS host, (event_id // 20) * 5 AS t,"
+    "  event_id AS delay FROM events"
+    "  WHERE event_id < 300 AND event_id % 20 < 15)"
+    " SELECT l.host, l.t, l.event_id, r.delay AS policy_delay FROM l"
+    " ASOF LEFT JOIN r ON l.host = r.host AND l.t >= r.t",
+)
+def crawl_asof_policy(spark, sf):
+    """Point-in-time policy attachment: latest version with
+    version_t <= fetch_t per host, NULL before the first version."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    left = e.select(
+        F.pmod("event_id", F.lit(20)).cast("long").alias("host"),
+        F.expr("event_id div 20").alias("t"),
+        "event_id",
+    )
+    right = e.where(
+        (F.col("event_id") < 300) & (F.pmod("event_id", F.lit(20)) < 15)
+    ).select(
+        F.pmod("event_id", F.lit(20)).cast("long").alias("host"),
+        (F.expr("event_id div 20") * 5).alias("t"),
+        F.col("event_id").alias("policy_delay"),
+    )
+    return asof_join(left, right, "host")
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

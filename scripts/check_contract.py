@@ -56,9 +56,16 @@ def normalize(v):
     return v
 
 
+def _null_safe_key(row):
+    # NULLs sort first, typed values compare as (repr-class, value)
+    return tuple((v is not None, str(type(v)), v) if v is not None else (False, "", 0) for v in row)
+
+
 def rows_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(normalize(r[i]) for i in order) for r in rows), key=_null_safe_key
+    )
 
 
 def main() -> int:

@@ -1,0 +1,69 @@
+"""As-of join: referee parity, tie inclusivity, left semantics,
+collision guard, one-shuffle plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators.asof import asof_join
+
+
+def _l(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, t LONG, ev LONG")
+
+
+def _r(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, t LONG, v LONG")
+
+
+def _referee(lrows, rrows):
+    out = {}
+    for k, t, ev in lrows:
+        best = None
+        for rk, rt, v in rrows:
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, v)
+        out[(k, t, ev)] = best[1] if best else None
+    return out
+
+
+def test_matches_referee_with_ties_and_gaps(spark):
+    lrows = [(1, 0, 100), (1, 5, 101), (1, 7, 102), (2, 3, 103), (3, 9, 104)]
+    rrows = [(1, 0, 10), (1, 5, 20), (1, 8, 30), (2, 4, 40)]
+    got = {
+        (r.k, r.t, r.ev): r.v
+        for r in asof_join(_l(spark, lrows), _r(spark, rrows), "k").collect()
+    }
+    assert got == _referee(lrows, rrows)
+    # inclusivity: left at t=5 sees right version AT 5, not the older one
+    assert got[(1, 5, 101)] == 20
+    # gap: left before any version and key with no versions get NULL
+    assert got[(2, 3, 103)] is None and got[(3, 9, 104)] is None
+
+
+def test_multiple_right_attrs_flattened(spark):
+    left = _l(spark, [(1, 6, 1)])
+    right = spark.createDataFrame(
+        [(1, 2, 7, "allow")], "k LONG, t LONG, delay LONG, policy STRING"
+    )
+    row = asof_join(left, right, "k").first()
+    assert (row.delay, row.policy) == (7, "allow")
+
+
+def test_collision_guard(spark):
+    left = _l(spark, [(1, 0, 1)])
+    right = spark.createDataFrame([(1, 0, 2)], "k LONG, t LONG, ev LONG")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k")
+
+
+def test_single_exchange_plan(spark):
+    p = (
+        asof_join(_l(spark, [(1, 0, 1)]), _r(spark, [(1, 0, 2)]), "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1
+    assert "Join" not in p  # union + window, literally no join operator
