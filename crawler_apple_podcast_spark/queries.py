@@ -3371,6 +3371,38 @@ def crawl_asof_policy(spark, sf):
     return asof_join(left, right, "host")
 
 
+# Hypertable rollup (operators/rollup.py): the served hour-grain frame
+# is computed FROM the materialized minute-grain level (never raw
+# events — that is the operator's point); the oracle aggregates the
+# RAW events at hour grain directly, so a pass proves the hierarchy
+# property (rollup of the rollup == direct coarse aggregation), exact
+# because values are quantized to integer cents at level 0.
+@q(
+    "metrics_hypertable_rollup",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_str,"
+    " event_type, count(*) AS n_events,"
+    " CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,"
+    " CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,"
+    " CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents"
+    " FROM events GROUP BY 1, 2",
+)
+def metrics_hypertable_rollup(spark, sf):
+    """Continuous-aggregate hierarchy: hour grain served from the
+    minute-grain materialization."""
+    from .operators.rollup import rollup_hierarchy
+
+    e = _t(spark, sf, "events")
+    levels = rollup_hierarchy(e, ("minute", "hour"))
+    return levels["hour"].select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_str"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
