@@ -82,3 +82,41 @@ def asof_join(
     return u.where(F.col("_side") == 1).select(
         *lcols, *[F.col("_carried")[a].alias(a) for a in rattrs]
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    point_t: str = "t",
+    from_col: str = "valid_from_wave",
+    to_col: str = "valid_to_wave",
+) -> DataFrame:
+    """Range join of a point table against non-overlapping validity
+    intervals (``content_history``'s output shape: per key, intervals
+    ``[from, to]`` inclusive with NULL ``to`` = open): each point row
+    gains the attrs of the interval containing its time, NULL if it
+    falls in no interval (before the first version).
+
+    Because the intervals are non-overlapping and sorted per key, the
+    containing interval is exactly the as-of match on ``from`` — so
+    this is the one-shuffle union+window plan, not a range-predicate
+    join (which Spark would execute as a per-key product).  The ``to``
+    bound then only needs a post-filter: a match whose interval closed
+    before the point means the point predates the NEXT interval's
+    start, which cannot happen for contiguous histories and NULLs out
+    the attrs for gapped ones.
+    """
+    # the as-of consumes from_col as the time axis, so carry a copy as
+    # a payload attr — the containment test below needs it back
+    ivl = intervals.withColumn("_ivl_from", F.col(from_col))
+    j = asof_join(points, ivl, key_col, point_t, from_col)
+    inside = F.col("_ivl_from").isNotNull() & (
+        F.col(to_col).isNull() | (F.col(point_t) <= F.col(to_col))
+    )
+    rattrs = [c for c in intervals.columns if c not in (key_col, from_col)]
+    return j.select(
+        *[c for c in points.columns],
+        *[F.when(inside, F.col(c)).otherwise(F.lit(None)).alias(c) for c in rattrs],
+        F.when(inside, F.col("_ivl_from")).otherwise(F.lit(None)).alias(from_col),
+    )

@@ -83,3 +83,68 @@ def distinct_within_tolerance(
             <= F.lit(tol_milli) * F.col("n_distinct")
         ).alias("within_tol"),
     )
+
+
+def _mg_shrink(counters: dict, k: int) -> dict:
+    """Misra-Gries merge/shrink: keep at most ``k`` counters by
+    subtracting the (k+1)-largest count from all and dropping the
+    non-positive remainder (Agarwal et al., "Mergeable Summaries")."""
+    if len(counters) <= k:
+        return counters
+    pivot = sorted(counters.values(), reverse=True)[k]
+    return {key: c - pivot for key, c in counters.items() if c > pivot}
+
+
+def heavy_hitter_candidates(
+    df, key_col: str, k: int
+):
+    """Per-partition Misra-Gries summaries: <= ``k`` candidate keys per
+    partition (emitted with their residual lower-bound counts).  Each
+    Arrow batch is folded in vectorized (``value_counts`` then one
+    shrink), so the scan stays batch-speed, not per-row Python."""
+    import pandas as pd
+
+    schema = df.select(key_col).schema
+    out_schema = schema.add("residual", "long")
+
+    def part(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            counters = _mg_shrink(counters, k)
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters), "residual": list(counters.values())}
+            )
+
+    return df.select(key_col).mapInPandas(part, out_schema)
+
+
+def heavy_hitters_exact(df, key_col: str, k: int):
+    """EXACT answer to "which keys occur more than n/k times" via a
+    Misra-Gries candidate prune + exact confirm: ``(key_col, n_exact)``
+    for every key with ``n_exact * k > n``.
+
+    Why the prune loses nothing: if ``freq(key) > n/k`` globally then
+    in at least one partition ``freq_p > n_p/k`` (otherwise summing
+    the per-partition inequalities contradicts the global one), and a
+    k-counter Misra-Gries summary of a partition surfaces every key
+    with ``freq_p > n_p/k``.  The union of partition candidates is
+    therefore a SUPERSET of the true heavy hitters — the repo-wide
+    sketch contract (approximate prunes, exact confirms) — and the
+    confirm counts only candidate-key rows: the full-key groupBy
+    shuffle is replaced by <= ``k x n_partitions`` candidate rows plus
+    a broadcast semi-join scan."""
+    cand = heavy_hitter_candidates(df, key_col, k).select(key_col).distinct()
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_exact") * F.lit(k) > F.col("_n"))
+        .select(key_col, "n_exact")
+    )

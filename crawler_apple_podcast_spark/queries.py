@@ -3403,6 +3403,35 @@ def metrics_hypertable_rollup(spark, sf):
     )
 
 
+# Misra-Gries heavy hitters (operators/sketches.py): keys over the
+# n/k frequency bar, EXACT — the per-partition summary union provably
+# contains every true heavy hitter (if freq > n/k globally, some
+# partition has freq_p > n_p/k), and the confirm counts candidates
+# only.  One skewed host carries every third event; the 96 cold hosts
+# sit far under the bar.
+@q(
+    "host_heavy_hitters",
+    "WITH u AS (SELECT CASE WHEN event_id % 3 = 0 THEN 'hot.example'"
+    "  ELSE 'h' || (event_id % 97) || '.example' END AS host FROM events)"
+    " SELECT host, count(*) AS n_exact FROM u GROUP BY host"
+    " HAVING count(*) * 10 > (SELECT count(*) FROM u)",
+)
+def host_heavy_hitters(spark, sf):
+    """Hosts contributing > 1/10 of all fetches: Misra-Gries prune +
+    exact confirm, no corpus-wide key shuffle."""
+    from .operators import sketches as SK
+
+    e = _t(spark, sf, "events")
+    u = e.select(
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.lit("hot.example"))
+        .otherwise(
+            F.concat(F.lit("h"), F.pmod("event_id", F.lit(97)).cast("string"), F.lit(".example"))
+        )
+        .alias("host")
+    )
+    return SK.heavy_hitters_exact(u, "host", 10)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -67,3 +67,51 @@ def test_single_exchange_plan(spark):
     )
     assert p.count("Exchange") == 1
     assert "Join" not in p  # union + window, literally no join operator
+
+
+# ----------------------------------------------------- interval join
+
+
+def test_interval_join_on_content_history_shape(spark):
+    from crawler_apple_podcast_spark.operators.asof import interval_join
+
+    intervals = spark.createDataFrame(
+        [
+            ("u1", 1, "A", 0, 4, 3),
+            ("u1", 2, "B", 5, 9, 2),
+            ("u1", 3, "C", 10, None, 1),
+            ("u2", 1, "X", 3, None, 1),
+        ],
+        "url STRING, version LONG, fingerprint STRING,"
+        " valid_from_wave LONG, valid_to_wave LONG, n_obs LONG",
+    )
+    points = spark.createDataFrame(
+        [("u1", 0), ("u1", 4), ("u1", 7), ("u1", 10), ("u1", 99),
+         ("u2", 0), ("u2", 5), ("u3", 1)],
+        "url STRING, t LONG",
+    )
+    got = {
+        (r.url, r.t): r.fingerprint
+        for r in interval_join(points, intervals, "url").collect()
+    }
+    assert got == {
+        ("u1", 0): "A", ("u1", 4): "A", ("u1", 7): "B",
+        ("u1", 10): "C", ("u1", 99): "C",
+        ("u2", 0): None,          # before the first version
+        ("u2", 5): "X",
+        ("u3", 1): None,          # key with no intervals
+    }
+
+
+def test_interval_join_gapped_history_nulls_out(spark):
+    from crawler_apple_podcast_spark.operators.asof import interval_join
+
+    intervals = spark.createDataFrame(
+        [("u", 1, "A", 0, 2, 1), ("u", 2, "B", 8, None, 1)],
+        "url STRING, version LONG, fingerprint STRING,"
+        " valid_from_wave LONG, valid_to_wave LONG, n_obs LONG",
+    )
+    points = spark.createDataFrame([("u", 5)], "url STRING, t LONG")
+    row = interval_join(points, intervals, "url").first()
+    # t=5 falls in the gap (2, 8): as-of matches A but containment fails
+    assert row.fingerprint is None and row.valid_from_wave is None

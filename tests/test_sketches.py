@@ -69,3 +69,49 @@ def test_estimate_within_tolerance_and_gate(spark):
     rows = gate.collect()
     assert all(r.within_tol for r in rows)
     assert {r.host: r.n_distinct for r in rows} == exact
+
+
+# ------------------------------------------- Misra-Gries heavy hitters
+
+
+def test_heavy_hitters_exact_vs_referee(spark):
+    from collections import Counter
+
+    from crawler_apple_podcast_spark.operators import sketches as SK
+
+    rows = (
+        [("hot",)] * 900
+        + [("warm",)] * 300
+        + [(f"c{i}",) for i in range(800) for _ in range(1)]
+    )
+    df = spark.createDataFrame(rows, "host STRING").repartition(8)
+    k = 5
+    got = {
+        r.host: r.n_exact
+        for r in SK.heavy_hitters_exact(df, "host", k).collect()
+    }
+    cnt = Counter(h for h, in rows)
+    n = len(rows)
+    want = {h: c for h, c in cnt.items() if c * k > n}
+    assert got == want
+    assert "hot" in got  # 900/2000 > 1/5
+
+
+def test_heavy_hitter_candidates_superset_guarantee(spark):
+    """Every key above the n/k bar appears among the per-partition
+    candidates, across several partitionings."""
+    from collections import Counter
+
+    from crawler_apple_podcast_spark.operators import sketches as SK
+
+    rows = [(f"k{i % 7}",) for i in range(700)] + [("dom",)] * 200
+    cnt = Counter(h for h, in rows)
+    n = len(rows)
+    for parts in (1, 4, 16):
+        df = spark.createDataFrame(rows, "host STRING").repartition(parts)
+        cands = {
+            r.host for r in SK.heavy_hitter_candidates(df, "host", 8).collect()
+        }
+        for h, c in cnt.items():
+            if c * 8 > n:
+                assert h in cands, (parts, h)
