@@ -3432,6 +3432,32 @@ def host_heavy_hitters(spark, sf):
     return SK.heavy_hitters_exact(u, "host", 10)
 
 
+# BPE tokenizer fitting (operators/bpe.py): the driver entry checks
+# the per-iteration workhorse — freq-weighted adjacent-symbol pair
+# counts over the word-TYPE table (Zipf-small working set) — with a
+# full value oracle; the iterative merge loop itself is pytest-
+# refereed against the classic single-machine implementation (merge
+# sequences equal, deterministic under repartition).
+@q(
+    "bpe_pair_counts",
+    "WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+    "  AS word FROM documents),"
+    " t AS (SELECT word, count(*) AS freq FROM w GROUP BY word),"
+    " s AS (SELECT word, freq, list_append(list_filter(string_split(word, ''),"
+    "  c -> c <> ''), '</w>') AS syms FROM t),"
+    " p AS (SELECT freq, syms[i] AS a, syms[i+1] AS b FROM s,"
+    "  unnest(generate_series(1, len(syms) - 1)) AS u(i))"
+    " SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq FROM p GROUP BY a, b",
+)
+def bpe_pair_counts(spark, sf):
+    """First BPE iteration's pair statistics over the corpus word
+    types — the aggregate every merge round re-runs."""
+    from .operators.bpe import _initial_symbols, _pair_counts, word_types
+
+    d = _t(spark, sf, "documents")
+    return _pair_counts(_initial_symbols(word_types(d)))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
