@@ -226,14 +226,10 @@ def _le_uint(blob, pos: int, width: int):
     return out
 
 
-def parse_wav_header(media: DataFrame, blob_col: str = "blob") -> DataFrame:
-    """REAL WAV/RIFF header decode as JVM column expressions over the
-    binary blob (canonical 44-byte PCM layout; cf. the reference's
-    audio enclosures, /root/reference/handler/apple_podcast_api.py:137-182,
-    which it ships to disk/COS undecoded).  Non-WAV or truncated blobs
-    yield NULL fields — never a task failure — so the parser is safe
-    to run over a mixed media column.  duration_ms is exact integer
-    arithmetic: data_bytes * 1000 // byte_rate."""
+def _wav_fields(blob_col: str):
+    """(magic_ok guard, header field dict) as pure Column exprs —
+    shared by the header parser and the segmenter so both stay
+    join-free narrow maps."""
     blob = F.col(blob_col)
     # Binary-literal comparison, NOT decode(): under ANSI mode decode
     # raises on invalid UTF-8, and arbitrary (e.g. JPEG) bytes are
@@ -256,6 +252,18 @@ def parse_wav_header(media: DataFrame, blob_col: str = "blob") -> DataFrame:
     from ..functions.text import idiv
 
     fields["duration_ms"] = idiv(fields["data_bytes"] * F.lit(1000), fields["byte_rate"])
+    return magic_ok, fields
+
+
+def parse_wav_header(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL WAV/RIFF header decode as JVM column expressions over the
+    binary blob (canonical 44-byte PCM layout; cf. the reference's
+    audio enclosures, /root/reference/handler/apple_podcast_api.py:137-182,
+    which it ships to disk/COS undecoded).  Non-WAV or truncated blobs
+    yield NULL fields — never a task failure — so the parser is safe
+    to run over a mixed media column.  duration_ms is exact integer
+    arithmetic: data_bytes * 1000 // byte_rate."""
+    magic_ok, fields = _wav_fields(blob_col)
     return media.select(
         "media_id",
         *[F.when(magic_ok, expr).alias(name) for name, expr in fields.items()],
@@ -294,4 +302,69 @@ def compression_ratio_milli(df: DataFrame, id_col: str, text_col: str) -> DataFr
 
     return df.select(id_col, text_col).mapInPandas(
         run, "doc_id BIGINT, n_bytes BIGINT, ratio_milli BIGINT"
+    )
+
+
+def audio_segments(
+    media: DataFrame,
+    segment_ms: int,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Fixed-duration PCM audio segmentation as REAL byte slices — the
+    ASR-training chunking step, and (like ``parse_wav_header``) a media
+    op that needs NO codec: for canonical PCM WAV the time axis IS the
+    byte axis, so a ``segment_ms`` window is ``byte_rate * segment_ms
+    / 1000`` bytes rounded DOWN to a whole sample block (frame
+    alignment — an unaligned cut splits a sample across segments and
+    corrupts every later frame).
+
+    Emits ``(id_col, seg_idx, seg_offset, seg_bytes, seg_ms,
+    seg_blob)`` per segment: ``seg_offset`` is 0-based into the blob
+    (header is 44 bytes), the final segment may be shorter, and
+    ``seg_ms`` is the exact integer duration of the bytes actually
+    sliced.  Concatenating ``seg_blob`` in ``seg_idx`` order
+    reconstructs the data chunk byte-for-byte (pytest-asserted).
+    Non-WAV / truncated blobs emit no rows (header parse yields NULLs,
+    the fan-out filter drops them) — safe over a mixed media column.
+
+    Spark shape: header fields come from the same JVM byte arithmetic
+    as ``parse_wav_header``; the fan-out is ``sequence`` + ``explode``
+    + binary ``substring`` — pure codegen, zero shuffles, no Python in
+    the path (the same shape as the video frame-sample op above).
+    """
+    if segment_ms <= 0:
+        raise ValueError(f"segment_ms must be positive, got {segment_ms}")
+    magic_ok, fields = _wav_fields(blob_col)
+    j = media.select(
+        id_col,
+        blob_col,
+        F.when(magic_ok, fields["channels"]).alias("channels"),
+        F.when(magic_ok, fields["bits_per_sample"]).alias("bits_per_sample"),
+        F.when(magic_ok, fields["byte_rate"]).alias("byte_rate"),
+        F.when(magic_ok, fields["data_bytes"]).alias("data_bytes"),
+    )
+    block = (F.col("channels") * F.col("bits_per_sample") / F.lit(8)).cast("long")
+    from ..functions.text import idiv
+
+    raw_seg = idiv(F.col("byte_rate") * F.lit(segment_ms), F.lit(1000))
+    seg_bytes = F.greatest(idiv(raw_seg, block) * block, block)
+    n_segs = idiv(F.col("data_bytes") + seg_bytes - 1, seg_bytes)
+    segs = F.when(
+        F.col("data_bytes").isNotNull() & (F.col("data_bytes") > 0),
+        F.sequence(F.lit(0), n_segs - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = j.select(
+        id_col, blob_col, "byte_rate", "data_bytes",
+        seg_bytes.alias("_sb"), F.explode(segs).alias("seg_idx"),
+    )
+    off = F.col("seg_idx") * F.col("_sb")
+    ln = F.least(F.col("_sb"), F.col("data_bytes") - off)
+    return ex.select(
+        id_col,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        off.cast("long").alias("seg_offset"),
+        ln.cast("long").alias("seg_bytes"),
+        idiv(ln * F.lit(1000), F.col("byte_rate")).alias("seg_ms"),
+        F.expr(f"substring({blob_col}, cast(45 + seg_idx * _sb as int), cast(least(_sb, data_bytes - seg_idx * _sb) as int))").alias("seg_blob"),
     )

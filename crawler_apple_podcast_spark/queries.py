@@ -3458,6 +3458,35 @@ def bpe_pair_counts(spark, sf):
     return _pair_counts(_initial_symbols(word_types(d)))
 
 
+# PCM audio segmentation (operators/multimodal.py audio_segments):
+# 100 ms block-aligned byte windows over the synthesized WAV corpus.
+# The oracle predicts every offset/length analytically from doc_id
+# (time axis == byte axis for PCM); the actual segment BYTES and the
+# concat-reconstruction property are pytest-asserted (binary columns
+# don't cross the driver compare).
+@q(
+    "mm_audio_segments",
+    "WITH p AS (SELECT doc_id AS media_id,"
+    "  (8000 + (doc_id % 4) * 4000) AS rate, (doc_id % 2 + 1) * 2 AS block,"
+    "  ((doc_id % 50) + 1) * 100 * ((doc_id % 2 + 1) * 2) AS data_bytes"
+    "  FROM documents),"
+    " q AS (SELECT media_id, rate * block AS byte_rate,"
+    "  (rate // 10) * block AS segb, data_bytes FROM p),"
+    " s AS (SELECT media_id, byte_rate, segb, data_bytes, CAST(i AS BIGINT)"
+    "  AS seg_idx FROM q,"
+    "  unnest(generate_series(0, (data_bytes + segb - 1) // segb - 1)) AS u(i))"
+    " SELECT media_id, seg_idx, CAST(seg_idx * segb AS BIGINT) AS seg_offset,"
+    "  CAST(least(segb, data_bytes - seg_idx * segb) AS BIGINT) AS seg_bytes,"
+    "  CAST(least(segb, data_bytes - seg_idx * segb) * 1000 // byte_rate"
+    "  AS BIGINT) AS seg_ms FROM s",
+)
+def mm_audio_segments(spark, sf):
+    """100 ms PCM segments over real WAV bytes — offsets and lengths
+    value-checked analytically; byte content pytest-asserted."""
+    d = _t(spark, sf, "documents")
+    return MM.audio_segments(MM.synth_wav(d), 100).drop("seg_blob")
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -191,3 +191,56 @@ def test_wav_parse_total_on_arbitrary_bytes(spark, blobs):
     assert len(got) == len(blobs)
     for r in got:
         assert r.sample_rate is None or r.sample_rate >= 0
+
+
+# ---------------------------------------------- PCM audio segmentation
+
+
+def test_audio_segments_reconstruct_data_chunk(spark):
+    """Concatenating seg_blob in seg_idx order equals the blob's data
+    chunk byte-for-byte; every segment except the last is full-size
+    and block-aligned."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 24)], "doc_id LONG")
+    wav = MM.synth_wav(docs)
+    blobs = {r.media_id: bytes(r.blob) for r in wav.collect()}
+    segs = MM.audio_segments(wav, 100).collect()
+    by_media: dict[int, list] = {}
+    for r in segs:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(blobs)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r.seg_idx)
+        data = blobs[mid][44:]
+        assert b"".join(bytes(r.seg_blob) for r in rows) == data
+        did = mid
+        block = (did % 2 + 1) * 2
+        segb = ((8000 + (did % 4) * 4000) // 10) * block
+        for r in rows[:-1]:
+            assert r.seg_bytes == segb
+        assert all(r.seg_bytes % block == 0 for r in rows[:-1])
+        assert sum(r.seg_bytes for r in rows) == len(data)
+        # offsets tile the chunk
+        assert [r.seg_offset for r in rows] == [i * segb for i in range(len(rows))]
+
+
+def test_audio_segments_skip_non_wav_and_reject_bad_args(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff JPEG-ish")), (2, bytearray(b"tiny"))],
+        "media_id LONG, blob BINARY",
+    )
+    assert MM.audio_segments(df, 100).count() == 0
+    with _pytest.raises(ValueError):
+        MM.audio_segments(df, 0)
+
+
+def test_audio_segments_zero_shuffle_plan(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id LONG")
+    p = (
+        MM.audio_segments(MM.synth_wav(docs), 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
