@@ -115,3 +115,32 @@ def test_interval_join_gapped_history_nulls_out(spark):
     row = interval_join(points, intervals, "url").first()
     # t=5 falls in the gap (2, 8): as-of matches A but containment fails
     assert row.fingerprint is None and row.valid_from_wave is None
+
+
+# ------------------------------------------------ property: random logs
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30), st.integers(0, 999)),
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30), st.integers(0, 999)),
+        max_size=15,
+        unique_by=lambda r: (r[0], r[1]),   # unique (key, t): the contract
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_property_random_logs(spark, lrows, rrows):
+    got = sorted(
+        (r.k, r.t, r.ev, r.v)
+        for r in asof_join(_l(spark, lrows), _r(spark, rrows), "k").collect()
+    )
+    ref = _referee(lrows, rrows)
+    want = sorted((k, t, ev, ref[(k, t, ev)]) for k, t, ev in lrows)
+    assert got == want

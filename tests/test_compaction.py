@@ -77,3 +77,23 @@ def test_single_exchange_plan(spark):
     f = _files(spark, {"p": [1, 2, 3], "q": [4, 5]})
     plan = compaction_plan(f, target_bytes=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# --------------------------------------------- property: random manifests
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    sizes=st.lists(st.integers(1, 200), min_size=1, max_size=40),
+    target=st.integers(1, 300),
+)
+@settings(max_examples=12, deadline=None)
+def test_property_random_manifest(spark, sizes, target):
+    out = compaction_plan(_files(spark, {"p": sizes}), target_bytes=target)
+    got = {
+        r.bin: (r.n_files, r.bin_bytes, r.first_file, r.last_file)
+        for r in out.collect()
+    }
+    assert got == _referee(sizes, target)
