@@ -101,7 +101,10 @@ def heavy_hitter_candidates(
     """Per-partition Misra-Gries summaries: <= ``k`` candidate keys per
     partition (emitted with their residual lower-bound counts).  Each
     Arrow batch is folded in vectorized (``value_counts`` then one
-    shrink), so the scan stays batch-speed, not per-row Python."""
+    shrink), so the scan stays batch-speed, not per-row Python.  NULL
+    keys are ignored (``value_counts`` drops them): NULL is never a
+    heavy-hitter candidate, matching SQL GROUP BY semantics where a
+    NULL group is reported but never compared by this operator."""
     import pandas as pd
 
     schema = df.select(key_col).schema
