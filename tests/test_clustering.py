@@ -113,3 +113,19 @@ def test_semantic_dedup_scopes_pairs_to_cells_and_keeps_zero_norm(spark):
     # cross-cell: 0/1 vs 2/3 are orthogonal, never paired anyway, but
     # the within-cell scoping is what kept 2 despite 0 being "first"
     assert out[0].cell != out[2].cell
+
+
+def test_semantic_dedup_cache_released(spark, planted):
+    """The persisted join base registers with the similarity cache and
+    release_similarity_cache() drains it (the bench/harness loop
+    hygiene contract from round 3's advice)."""
+    from crawler_apple_podcast_spark.operators.similarity import (
+        _sim_cache,
+        release_similarity_cache,
+    )
+
+    release_similarity_cache()
+    CL.semantic_dedup(planted, k=4, threshold_milli=990, dim=16).count()
+    assert len(_sim_cache) >= 1
+    release_similarity_cache()
+    assert not _sim_cache
