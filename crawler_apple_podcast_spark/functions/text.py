@@ -138,3 +138,76 @@ def dup_ngram_milli(tk: Column, n: int = 2) -> Column:
     total = F.size(grams).cast("long")
     distinct = F.size(F.array_distinct(grams)).cast("long")
     return idiv((total - distinct) * F.lit(1000), total)
+
+
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the classic
+# web-text repetition/structure gate, as exact integer per-milles so
+# the thresholds mean the same thing on every engine.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """The full Gopher rule inputs per document, integer-exact:
+    word count, mean word length (milli-chars), '#'/'...' symbol
+    ratio, bullet-start and ellipsis-end line shares, alphabetic-word
+    share, distinct-stopword hits — plus the composite ``keep`` at the
+    published thresholds (50..100k words, mean length 3..10, symbol
+    ratio <= 0.1, bullet lines <= 10%, ellipsis lines <= 30%,
+    alpha words >= 80%, >= 2 stopwords)."""
+    # words come from the newline-normalized text (a word straddling a
+    # line break is still one word per line); line rules use raw text
+    tk = tokens(F.regexp_replace(text, "\n", " "))
+    n_words = F.size(tk).cast("long")
+    mean_wlen_milli = idiv(
+        F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w)).cast("long")
+        * F.lit(1000),
+        n_words,
+    )
+    symbols = (
+        F.regexp_count(text, F.lit(r"#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("long")
+    symbol_milli = idiv(symbols * F.lit(1000), n_words)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_milli = idiv(
+        F.size(
+            F.filter(lines, lambda l: l.startswith("•") | l.startswith("- "))
+        ).cast("long")
+        * F.lit(1000),
+        n_lines,
+    )
+    ellipsis_milli = idiv(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+        * F.lit(1000),
+        n_lines,
+    )
+    alpha_milli = idiv(
+        F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+        * F.lit(1000),
+        n_words,
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(tk, s))
+    ).cast("long")
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wlen_milli >= 3000)
+        & (mean_wlen_milli <= 10_000)
+        & (symbol_milli <= 100)
+        & (bullet_milli <= 100)
+        & (ellipsis_milli <= 300)
+        & (alpha_milli >= 800)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_wlen_milli": mean_wlen_milli,
+        "symbol_milli": symbol_milli,
+        "bullet_milli": bullet_milli,
+        "ellipsis_milli": ellipsis_milli,
+        "alpha_milli": alpha_milli,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }

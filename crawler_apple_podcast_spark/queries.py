@@ -3487,6 +3487,60 @@ def mm_audio_segments(spark, sf):
     return MM.audio_segments(MM.synth_wav(d), 100).drop("seg_blob")
 
 
+# Full Gopher structural-quality rule set (functions/text.py
+# gopher_stats): every doc gets bullet/ellipsis line structure
+# injected closed-form from doc_id so the line rules actually fire,
+# then all seven rule inputs plus the composite keep are compared as
+# exact integers.
+@q(
+    "text_gopher_rules",
+    "WITH d AS (SELECT doc_id,"
+    "  (CASE WHEN doc_id % 5 = 0 THEN '• bullet intro' || chr(10) ELSE '' END)"
+    "  || text ||"
+    "  (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'trailing line...' ELSE '' END)"
+    "  AS text FROM documents),"
+    " t AS (SELECT doc_id, text,"
+    "  list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '') AS tk,"
+    "  string_split(text, chr(10)) AS lines FROM d),"
+    " s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,"
+    "  (list_sum(list_transform(tk, w -> length(w))) * 1000) // len(tk) AS mean_wlen_milli,"
+    "  ((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))"
+    "   * 1000) // len(tk) AS symbol_milli,"
+    "  (len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %')) * 1000)"
+    "   // len(lines) AS bullet_milli,"
+    "  (len(list_filter(lines, l -> l LIKE '%...')) * 1000) // len(lines)"
+    "   AS ellipsis_milli,"
+    "  (len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) * 1000)"
+    "   // len(tk) AS alpha_milli,"
+    "  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],"
+    "   s -> list_contains(tk, s))) AS BIGINT) AS stop_hits FROM t)"
+    " SELECT doc_id, n_words, CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,"
+    "  CAST(symbol_milli AS BIGINT) AS symbol_milli,"
+    "  CAST(bullet_milli AS BIGINT) AS bullet_milli,"
+    "  CAST(ellipsis_milli AS BIGINT) AS ellipsis_milli,"
+    "  CAST(alpha_milli AS BIGINT) AS alpha_milli, stop_hits,"
+    "  n_words >= 50 AND n_words <= 100000 AND mean_wlen_milli >= 3000"
+    "  AND mean_wlen_milli <= 10000 AND symbol_milli <= 100"
+    "  AND bullet_milli <= 100 AND ellipsis_milli <= 300"
+    "  AND alpha_milli >= 800 AND stop_hits >= 2 AS keep FROM s",
+)
+def text_gopher_rules(spark, sf):
+    """The published Gopher structural-quality gate, integer-exact."""
+    d = _t(spark, sf, "documents")
+    text2 = F.concat(
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("• bullet intro\n")).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0, F.lit("\ntrailing line...")
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", text2.alias("_t2"))
+    stats = T.gopher_stats(F.col("_t2"))
+    return t.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

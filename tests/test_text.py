@@ -127,3 +127,51 @@ def test_dup_ngram_milli_hand_cases(spark):
     t = df.select("doc_id", T.tokens(F.col("text")).alias("_tk"))
     out = {r.doc_id: r.m for r in t.select("doc_id", T.dup_ngram_milli(F.col("_tk"), 2).alias("m")).collect()}
     assert out == {1: 600, 2: 0, 3: 0, 4: 666}
+
+
+# ------------------------------------------------- Gopher rule set
+
+
+def test_gopher_rules_referee(spark):
+    """Python referee over crafted docs hitting each rule boundary."""
+    from crawler_apple_podcast_spark.functions.text import (
+        GOPHER_STOPWORDS,
+        gopher_stats,
+    )
+
+    good = "the quick brown fox and that dog have fun with it " * 6  # 60 words
+    docs = {
+        0: good,                                   # passes everything
+        1: "word " * 10,                           # too short
+        2: ("#tag " * 30) + good,                  # symbol ratio blows up
+        3: "• a\n• b\n" + good,                    # bullet lines > 10%
+        4: good.replace("the", "zzz").replace("and", "qqq")
+              .replace("that", "rrr").replace("have", "sss")
+              .replace("with", "ttt"),             # < 2 stopwords
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id LONG, text STRING")
+    stats = gopher_stats(F.col("text"))
+    out = {r.doc_id: r for r in df.select("doc_id", *[c.alias(n) for n, c in stats.items()]).collect()}
+    assert out[0].keep
+    assert not out[1].keep and out[1].n_words == 10
+    assert not out[2].keep and out[2].symbol_milli > 100
+    assert not out[3].keep and out[3].bullet_milli > 100
+    assert not out[4].keep and out[4].stop_hits < 2
+
+    def ref(text):
+        words = [w for w in text.replace("\n", " ").split(" ") if w]
+        lines = text.split("\n")
+        return {
+            "n_words": len(words),
+            "mean_wlen_milli": sum(map(len, words)) * 1000 // len(words),
+            "symbol_milli": (text.count("#") + text.count("...")) * 1000 // len(words),
+            "bullet_milli": sum(l.startswith(("•", "- ")) for l in lines) * 1000 // len(lines),
+            "ellipsis_milli": sum(l.endswith("...") for l in lines) * 1000 // len(lines),
+            "alpha_milli": sum(any(c.isascii() and c.isalpha() for c in w) for w in words) * 1000 // len(words),
+            "stop_hits": sum(s in words for s in GOPHER_STOPWORDS),
+        }
+
+    for did, text in docs.items():
+        want = ref(text)
+        for field, v in want.items():
+            assert getattr(out[did], field) == v, (did, field)
