@@ -1,0 +1,94 @@
+"""Podcast RSS feed-item parsing — pure JVM ``xpath`` extraction.
+
+The north-star page graph is show pages -> episode pages -> RSS feed
+URLs; this module closes the third tier.  The reference reaches each
+episode's audio through the Apple Podcast API's ``assetUrl``
+(``/root/reference/handler/apple_podcast_api.py:126,145``); the open-web
+equivalent of that record is the feed's ``<item>`` block (title,
+``<enclosure url= length=>``, ``<pubDate>``, ``<guid>``), which is what
+a crawl of the RSS URLs discovered by ``html_link_extract`` /
+``robots_sitemap_discovery`` actually fetches.
+
+Everything here is Catalyst-native: Spark's built-in Hive ``xpath``
+expression pulls each field as an ``array<string>`` in one pass over
+the XML (no Python, no row-at-a-time DOM), ``arrays_zip`` re-assembles
+the per-item structs, and ``transform`` types them (long cast, RFC-822
+timestamp -> epoch seconds).  At 10^10 pages this is a narrow map —
+zero shuffle, whole-stage codegen around the xpath calls.
+
+Alignment precondition: ``xpath`` returns only PRESENT nodes, so the
+five field arrays stay index-aligned iff every ``<item>`` carries all
+five fields.  Podcast feeds (and this repo's synthetic corpus) do; a
+feed that drops e.g. ``<enclosure>`` from one item would shift later
+items' enclosures up one slot.  For ragged feeds, gate with
+``feed_items_aligned`` first and route failures to a quarantine sink.
+
+RFC-822 ``pubDate`` note: Spark >= 3 refuses day-of-week letters in
+*parse* patterns (``EEE`` is format-only), so the weekday prefix is
+stripped with one regexp before ``unix_timestamp``; the session runs
+with ``spark.sql.session.timeZone=UTC`` so ``GMT`` strings round-trip
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_ITEM_FIELDS = (
+    ("title", "//item/title/text()"),
+    ("audio_url", "//item/enclosure/@url"),
+    ("length_raw", "//item/enclosure/@length"),
+    ("pub_raw", "//item/pubDate/text()"),
+    ("guid", "//item/guid/text()"),
+)
+
+# RFC-822 date minus the (format-only) weekday prefix
+_RFC822_TAIL = "dd MMM yyyy HH:mm:ss 'GMT'"
+_WEEKDAY_RE = r"^[A-Za-z]{3},\s*"
+
+
+def parse_feed_items(xml: Column) -> Column:
+    """``array<struct<title, audio_url, length_bytes, pub_epoch, guid>>``
+    of every ``<item>`` in an RSS feed document, in document order.
+
+    One xpath pass per field, then a zip — the whole thing is a single
+    projection; callers ``posexplode`` to get one row per episode.
+    """
+    arrays = [F.xpath(xml, F.lit(path)).alias(name) for name, path in _ITEM_FIELDS]
+    zipped = F.arrays_zip(*arrays)
+    return F.transform(
+        zipped,
+        lambda s: F.struct(
+            s["title"].alias("title"),
+            s["audio_url"].alias("audio_url"),
+            s["length_raw"].cast("long").alias("length_bytes"),
+            F.unix_timestamp(
+                F.regexp_replace(s["pub_raw"], _WEEKDAY_RE, ""), _RFC822_TAIL
+            ).alias("pub_epoch"),
+            s["guid"].alias("guid"),
+        ),
+    )
+
+
+def feed_items_aligned(xml: Column) -> Column:
+    """True iff every per-item field array has the same length as the
+    ``<item>`` count — the alignment precondition of
+    ``parse_feed_items`` (see module docstring).  Cheap: same xpath
+    scans Catalyst already needs for the parse itself."""
+    n_items = F.size(F.xpath(xml, F.lit("//item")))
+    checks = [
+        F.size(F.xpath(xml, F.lit(path))) == n_items for _, path in _ITEM_FIELDS
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def feed_audio_urls(xml: Column) -> Column:
+    """Just the enclosure URLs (``array<string>``) — the download
+    frontier a fetched feed contributes (reference: the per-episode
+    ``asset_url`` list it hands to the downloader,
+    ``handler/apple_podcast_api.py:126``)."""
+    return F.xpath(xml, F.lit("//item/enclosure/@url"))

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import feeds as FD
 from .functions import text as T
 from .functions import urls as U
 from .functions.episodes import asset_paths
@@ -3539,6 +3540,66 @@ def text_gopher_rules(spark, sf):
     t = d.select("doc_id", text2.alias("_t2"))
     stats = T.gopher_stats(F.col("_t2"))
     return t.select("doc_id", *[c.alias(n) for n, c in stats.items()])
+
+
+# RSS feed-item parse (functions/feeds.py) — the page graph's third
+# tier (show -> episode -> RSS feed).  Each doc synthesizes a feed of
+# 1-3 <item> blocks closed-form from doc_id; the Spark side round-trips
+# the XML through the built-in JVM xpath expression (title, enclosure
+# url/length, RFC-822 pubDate -> epoch, guid) while the oracle predicts
+# every field analytically — so the xpath extraction, the long cast and
+# the RFC-822 parse are all value-checked, not just row-counted.
+@q(
+    "rss_feed_items",
+    "WITH j AS (SELECT doc_id, p FROM documents"
+    "  CROSS JOIN generate_series(0, 2) t(p) WHERE p < doc_id % 3 + 1)"
+    " SELECT doc_id, CAST(p AS BIGINT) AS pos,"
+    "  'Ep ' || doc_id || '-' || p AS title,"
+    "  'https://cdn' || (doc_id % 5) || '.example/audio/' || doc_id"
+    "   || '/' || p || '.mp3' AS audio_url,"
+    "  CAST(1000000 + doc_id * 37 + p AS BIGINT) AS length_bytes,"
+    "  CAST(1767571200 + doc_id * 3600 + p * 60 AS BIGINT) AS pub_epoch,"
+    "  'g-' || doc_id || '-' || p AS guid FROM j",
+)
+def rss_feed_items(spark, sf):
+    """Podcast RSS -> episode rows via JVM xpath (zero shuffle)."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+
+    def item(i: int):
+        epoch = F.lit(1767571200) + F.col("doc_id") * 3600 + F.lit(i * 60)
+        return F.when(
+            F.lit(i) < F.pmod("doc_id", F.lit(3)) + 1,
+            F.concat(
+                F.lit("<item><title>Ep "), did, F.lit(f"-{i}</title>"),
+                F.lit('<enclosure url="https://cdn'),
+                F.pmod("doc_id", F.lit(5)).cast("string"),
+                F.lit(".example/audio/"), did, F.lit(f"/{i}.mp3"),
+                F.lit('" length="'),
+                (F.lit(1000000) + F.col("doc_id") * 37 + F.lit(i)).cast("string"),
+                F.lit('" type="audio/mpeg"/><pubDate>Mon, '),
+                F.date_format(
+                    F.timestamp_seconds(epoch), "dd MMM yyyy HH:mm:ss 'GMT'"
+                ),
+                F.lit("</pubDate><guid>g-"), did, F.lit(f"-{i}</guid></item>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.lit("<rss><channel><title>Show</title>"),
+        item(0), item(1), item(2),
+        F.lit("</channel></rss>"),
+    )
+    t = d.select("doc_id", FD.parse_feed_items(xml).alias("_items"))
+    return t.select("doc_id", F.posexplode("_items").alias("pos", "_it")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("_it.title").alias("title"),
+        F.col("_it.audio_url").alias("audio_url"),
+        F.col("_it.length_bytes").alias("length_bytes"),
+        F.col("_it.pub_epoch").alias("pub_epoch"),
+        F.col("_it.guid").alias("guid"),
+    )
 
 
 # ------------------------------------------------------------- accessors
