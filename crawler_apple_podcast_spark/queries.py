@@ -3602,6 +3602,68 @@ def rss_feed_items(spark, sf):
     )
 
 
+# Redirect-chain resolution (operators/redirects.py).  Chains of
+# length doc_id%6 plus 3-cycles on doc_id%13==0, resolved with
+# max_hops=4 so all three outcomes occur: resolved (remaining <= 4),
+# truncated-by-cap (the depth-0 source of a length-5 chain), and
+# truncated-by-cycle.  The oracle predicts final URL, exact hop count
+# and status analytically per source.
+@q(
+    "crawl_redirect_resolve",
+    "WITH d AS (SELECT doc_id, doc_id % 6 AS L FROM documents),"
+    " chain AS (SELECT doc_id, L, i FROM d"
+    "  CROSS JOIN generate_series(0, 5) t(i) WHERE i < L),"
+    " c AS (SELECT 'https://r.example/c/' || doc_id || '/' || i AS src_url,"
+    "  CASE WHEN L - i <= 4 THEN 'https://r.example/c/' || doc_id || '/' || L"
+    "   END AS final_url,"
+    "  CASE WHEN L - i <= 4 THEN CAST(L - i AS BIGINT) END AS hops,"
+    "  CASE WHEN L - i <= 4 THEN 'resolved' ELSE 'truncated' END AS status"
+    "  FROM chain),"
+    " cyc AS (SELECT 'https://loop.example/' || doc_id || '/' || i AS src_url,"
+    "  CAST(NULL AS VARCHAR) AS final_url, CAST(NULL AS BIGINT) AS hops,"
+    "  'truncated' AS status FROM documents"
+    "  CROSS JOIN generate_series(0, 2) t(i) WHERE doc_id % 13 = 0)"
+    " SELECT * FROM c UNION ALL SELECT * FROM cyc",
+)
+def crawl_redirect_resolve(spark, sf):
+    """Pointer-doubling redirect resolution: 2 composition joins for
+    the 4-hop cap instead of 4 naive rounds; loop detection by cap."""
+    from .operators.redirects import resolve_redirects
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.pmod("doc_id", F.lit(6)).alias("_L")
+    )
+    did = F.col("doc_id").cast("string")
+
+    def cnode(i):
+        return F.concat(F.lit("https://r.example/c/"), did, F.lit("/"), i)
+
+    chains = (
+        d.where(F.col("_L") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("_L") - 1)).alias("_i"),
+        )
+        .select(
+            cnode(F.col("_i").cast("string")).alias("src_url"),
+            cnode((F.col("_i") + 1).cast("string")).alias("dst_url"),
+        )
+    )
+
+    def lnode(i):
+        return F.concat(F.lit("https://loop.example/"), did, F.lit("/"), i)
+
+    cycles = (
+        d.where(F.pmod("doc_id", F.lit(13)) == 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("_i"))
+        .select(
+            lnode(F.col("_i").cast("string")).alias("src_url"),
+            lnode(F.pmod(F.col("_i") + 1, F.lit(3)).cast("string")).alias("dst_url"),
+        )
+    )
+    return resolve_redirects(chains.unionByName(cycles), max_hops=4)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
