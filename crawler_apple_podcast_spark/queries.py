@@ -3664,6 +3664,58 @@ def crawl_redirect_resolve(spark, sf):
     return resolve_redirects(chains.unionByName(cycles), max_hops=4)
 
 
+# Content sniffing (functions/sniff.py): eight byte-level blob classes
+# (BOM'd HTML, meta-charset HTML, PDF, PNG, GIF, gzip, XML, UTF-16LE
+# BOM) are synthesized as REAL bytes on the Spark side and routed by
+# the sniffer; the oracle states the expected routing analytically.
+@q(
+    "content_sniff_route",
+    "SELECT doc_id,"
+    " CASE doc_id % 8"
+    "  WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'"
+    "  WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'image/png'"
+    "  WHEN 4 THEN 'image/gif' WHEN 5 THEN 'application/gzip'"
+    "  WHEN 6 THEN 'application/xml' ELSE 'text/plain' END AS mime,"
+    " CASE doc_id % 8"
+    "  WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251'"
+    "  WHEN 7 THEN 'utf-16le' ELSE NULL END AS charset"
+    " FROM documents",
+)
+def content_sniff_route(spark, sf):
+    """Magic-byte + BOM + meta-charset routing over real bytes."""
+    from .functions import sniff as SN
+
+    d = _t(spark, sf, "documents")
+    enc = lambda s: F.encode(F.lit(s), "UTF-8")  # noqa: E731
+    m8 = F.pmod("doc_id", F.lit(8))
+    blob = (
+        F.when(
+            m8 == 0,
+            F.concat(
+                F.unhex(F.lit("EFBBBF")),
+                enc('<!DOCTYPE html><head><meta charset="UTF-8"></head>'),
+            ),
+        )
+        .when(
+            m8 == 1,
+            enc(
+                '<html><head><meta http-equiv="Content-Type"'
+                ' content="text/html; charset=Windows-1251">'
+            ),
+        )
+        .when(m8 == 2, enc("%PDF-1.7 synthetic"))
+        .when(m8 == 3, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc("px")))
+        .when(m8 == 4, F.concat(enc("GIF89a"), F.unhex(F.lit("00FF00FF"))))
+        .when(m8 == 5, F.concat(F.unhex(F.lit("1F8B08")), enc("gzbody")))
+        .when(m8 == 6, enc('<?xml version="1.0"?><rss version="2.0"></rss>'))
+        .otherwise(F.concat(F.unhex(F.lit("FFFE")), enc("u16 payload")))
+    )
+    t = d.select("doc_id", SN.sniff_content(blob).alias("_s"))
+    return t.select(
+        "doc_id", F.col("_s.mime").alias("mime"), F.col("_s.charset").alias("charset")
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
