@@ -176,3 +176,29 @@ def test_compaction_plan_single_part_exchange(spark, qs):
     p = _plan(qs["maint_compaction_plan"](spark, SF))
     assert p.count("Exchange") == 1
     assert "SinglePartition" not in p
+
+
+def test_sniff_and_feed_parse_are_narrow_maps(spark, qs):
+    # byte sniffing and xpath feed parsing must stay zero-exchange
+    # projections all the way from the parquet scan
+    for name in ("content_sniff_route", "rss_feed_items"):
+        p = _plan(qs[name](spark, SF))
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_redirect_resolution_round_count_is_logarithmic(spark):
+    # the pointer-doubling claim: ceil(log2(max_hops)) composition
+    # rounds (+1 base mapping), NOT one join per hop
+    from crawler_apple_podcast_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(40)], "src_url STRING, dst_url STRING"
+    )
+    reg = []
+    p = _plan(resolve_redirects(edges, max_hops=32, cache_registry=reg))
+    # 1 base + 5 doublings (reach 1,2,4,8,16 -> 32), never 32 rounds
+    assert len(reg) == 6
+    assert "CartesianProduct" not in p and "SinglePartition" not in p
+    for f in reg:
+        f.unpersist()
