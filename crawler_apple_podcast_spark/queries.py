@@ -3716,6 +3716,60 @@ def content_sniff_route(spark, sf):
     )
 
 
+# Revalidation planning (operators/revalidate.py).  History exists for
+# doc%3!=0; age = (doc%100)*100 s against ttl 5000 s decides skip;
+# stale rows go conditional iff a validator exists (etag on odd docs,
+# last-modified on doc%4==2), else re-fetch.  The oracle replays the
+# whole decision table, including which validator rides along.
+@q(
+    "crawl_revalidation_plan",
+    "WITH s AS (SELECT doc_id,"
+    "  'https://h' || (doc_id % 20) || '.example/p/' || doc_id AS url"
+    "  FROM documents),"
+    " a AS (SELECT doc_id, url,"
+    "  CASE WHEN doc_id % 3 = 0 THEN 'fetch'"
+    "   WHEN doc_id % 100 < 50 THEN 'skip'"
+    "   WHEN doc_id % 2 = 1 OR doc_id % 4 = 2 THEN 'conditional'"
+    "   ELSE 'fetch' END AS action FROM s)"
+    " SELECT url, action,"
+    "  CASE WHEN action = 'conditional' AND doc_id % 2 = 1"
+    "   THEN '\"e' || doc_id || '\"' END AS etag,"
+    "  CASE WHEN action = 'conditional' AND doc_id % 4 = 2"
+    "   THEN 'lm-' || doc_id END AS last_modified FROM a",
+)
+def crawl_revalidation_plan(spark, sf):
+    """fetch / conditional-GET / skip per scheduled URL (one url join)."""
+    from .operators.revalidate import revalidation_plan
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(".example/p/"),
+        did,
+    )
+    schedule = d.select(url.alias("url"))
+    history = (
+        d.where(F.pmod("doc_id", F.lit(3)) != 0)
+        .select(
+            url.alias("url"),
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 1,
+                F.concat(F.lit('"e'), did, F.lit('"')),
+            ).alias("etag"),
+            F.when(
+                F.pmod("doc_id", F.lit(4)) == 2, F.concat(F.lit("lm-"), did)
+            ).alias("last_modified"),
+            (F.lit(1000000) - F.pmod("doc_id", F.lit(100)) * 100)
+            .cast("long")
+            .alias("fetched_ts"),
+            F.concat(F.lit("fp"), did).alias("fingerprint"),
+        )
+    )
+    return revalidation_plan(schedule, history, now_ts=1000000, ttl_s=5000)
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:
