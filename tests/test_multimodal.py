@@ -244,3 +244,28 @@ def test_audio_segments_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in p
+
+
+def test_gunzip_bodies_roundtrip_passthrough_corrupt_and_bomb(spark):
+    import gzip as _gz
+
+    from crawler_apple_podcast_spark.operators.multimodal import gunzip_bodies
+
+    plain = b"<html>already plain</html>"
+    good = _gz.compress(b"inflated payload bytes", mtime=0)
+    corrupt = good[:-8] + b"\xde\xad\xbe\xef" + good[-4:]  # flip the CRC32
+    bomb = _gz.compress(b"\x00" * 200_000, mtime=0)  # inflates far past cap
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(good)),
+         (3, bytearray(corrupt)), (4, bytearray(bomb)), (5, None)],
+        "media_id LONG, blob BINARY",
+    )
+    got = {
+        r.media_id: (bytes(r.body) if r.body is not None else None, r.gzip_ok)
+        for r in gunzip_bodies(df, max_bytes=100_000).collect()
+    }
+    assert got[1] == (plain, None)               # non-gzip passes through
+    assert got[2] == (b"inflated payload bytes", True)
+    assert got[3] == (None, False)               # CRC/corruption caught
+    assert got[4] == (None, False)               # bomb capped at max_bytes
+    assert got[5] == (None, None)                # NULL stays NULL
