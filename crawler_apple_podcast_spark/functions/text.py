@@ -211,3 +211,27 @@ def gopher_stats(text: Column) -> dict[str, Column]:
         "stop_hits": stop_hits,
         "keep": keep,
     }
+
+
+# ------------------------------------------------------------ mojibake
+
+# Classic UTF-8-read-as-cp1252 damage: 2-byte sequences surface as
+# 'Ã'+tail, 3-byte punctuation as 'â€'+tail, NBSP/degree/guillemets as
+# 'Â'+tail, and an already-lost char as the literal mojibake of
+# U+FFFD.  Alternation order matters for overlap — keep the pattern
+# string IDENTICAL in engine and oracle.
+MOJIBAKE_RE = "Ã.|â€.|Â.|ï¿½"
+
+
+def mojibake_hits(text: Column) -> Column:
+    """Count of mojibake sequences (non-overlapping, left-to-right)."""
+    return F.regexp_count(text, F.lit(MOJIBAKE_RE)).cast("long")
+
+
+def mojibake_milli(text: Column) -> Column:
+    """Mojibake sequences per mille of characters — the encoding-
+    damage quality signal (a page whose text is full of 'donâ€™t'
+    was decoded with the wrong charset upstream; route it back
+    through sniff_charset + re-decode instead of training on it).
+    Integer per-mille so the oracle replays exactly."""
+    return idiv(mojibake_hits(text) * F.lit(1000), F.length(text).cast("long"))

@@ -3770,6 +3770,40 @@ def crawl_revalidation_plan(spark, sf):
     return revalidation_plan(schedule, history, now_ts=1000000, ttl_s=5000)
 
 
+# Mojibake detection (functions/text.py mojibake_*): four injection
+# classes (clean / curly-quote / 2-byte letters / NBSP+lost-char) are
+# appended closed-form; both engines run the IDENTICAL alternation over
+# the same final string, so hit counts and per-milles match exactly.
+@q(
+    "text_mojibake_score",
+    "WITH t AS (SELECT doc_id, text ||"
+    "  CASE doc_id % 4 WHEN 1 THEN ' donâ€™t'"
+    "   WHEN 2 THEN ' CafÃ© MÃ¼nchen' WHEN 3 THEN ' Â° ï¿½'"
+    "   ELSE '' END AS tx FROM documents)"
+    " SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars,"
+    "  CAST(len(regexp_extract_all(tx, 'Ã.|â€.|Â.|ï¿½')) AS BIGINT) AS moji_hits,"
+    "  CAST(len(regexp_extract_all(tx, 'Ã.|â€.|Â.|ï¿½')) * 1000"
+    "   // length(tx) AS BIGINT) AS moji_milli FROM t",
+)
+def text_mojibake_score(spark, sf):
+    """Encoding-damage quality signal, integer-exact both engines."""
+    d = _t(spark, sf, "documents")
+    tx = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(" donâ€™t"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(" CafÃ© MÃ¼nchen"))
+        .when(F.pmod("doc_id", F.lit(4)) == 3, F.lit(" Â° ï¿½"))
+        .otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", tx.alias("_tx"))
+    return t.select(
+        "doc_id",
+        F.length("_tx").cast("long").alias("n_chars"),
+        T.mojibake_hits(F.col("_tx")).alias("moji_hits"),
+        T.mojibake_milli(F.col("_tx")).alias("moji_milli"),
+    )
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

@@ -175,3 +175,24 @@ def test_gopher_rules_referee(spark):
         want = ref(text)
         for field, v in want.items():
             assert getattr(out[did], field) == v, (did, field)
+
+
+def test_mojibake_detector(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "clean english text with nothing wrong"),
+        (2, "we donâ€™t say â€œhelloâ€\x9d anymore"),  # curly quotes x3
+        (3, "CafÃ© in MÃ¼nchen costs 5Â€"),             # 2x 'Ã.', 1x 'Â.'
+        (4, "broken ï¿½ char"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, t STRING")
+    got = {
+        r.k: r.h
+        for r in df.select("k", T.mojibake_hits(F.col("t")).alias("h")).collect()
+    }
+    assert got == {1: 0, 2: 3, 3: 3, 4: 1}
+    # per-mille is integer division by char length
+    milli = df.where("k = 3").select(T.mojibake_milli(F.col("t")).alias("m")).first().m
+    text = rows[2][1]
+    assert milli == 3 * 1000 // len(text)
