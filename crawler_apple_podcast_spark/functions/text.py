@@ -235,3 +235,33 @@ def mojibake_milli(text: Column) -> Column:
     through sniff_charset + re-decode instead of training on it).
     Integer per-mille so the oracle replays exactly."""
     return idiv(mojibake_hits(text) * F.lit(1000), F.length(text).cast("long"))
+
+
+# ------------------------------------------------------- HTML entities
+
+# (entity, replacement) — specific entities first; '&amp;' LAST so
+# double-escaped text ('&amp;lt;') decodes to the literal '&lt;' the
+# author wrote, exactly like a single-pass spec decoder.  Same chain
+# order replayed in the SQL oracle.
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_unescape_basic(text: Column) -> Column:
+    """Decode the entity set that dominates scraped webtext (the C4
+    cleanup step).  A replace chain, not a regex engine: one codegen
+    projection, exact and dialect-portable.  Rare named entities
+    (&eacute; etc.) are out of scope — they survive untouched and the
+    mojibake/quality signals still see them."""
+    out = text
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out

@@ -3804,6 +3804,40 @@ def text_mojibake_score(spark, sf):
     )
 
 
+# HTML entity decoding (functions/text.py html_unescape_basic): the
+# oracle replays the identical ordered replace chain ('&amp;' last, so
+# the injected double-escape '&amp;lt;b&amp;gt;' decodes to literal
+# '&lt;b&gt;' in BOTH engines — the single-pass-decoder semantics).
+@q(
+    "text_html_unescape",
+    "SELECT doc_id,"
+    " replace(replace(replace(replace(replace(replace(replace(replace("
+    "  text || CASE doc_id % 3"
+    "   WHEN 1 THEN ' Tom &amp; Jerry &lt;3 &quot;quoted&quot;'"
+    "   WHEN 2 THEN ' it&#39;s&nbsp;here &amp;lt;b&amp;gt;'"
+    "   ELSE '' END,"
+    "  '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''),"
+    "  '&#39;', ''''), '&#34;', '\"'), '&nbsp;', ' '), '&amp;', '&')"
+    " AS decoded FROM documents",
+)
+def text_html_unescape(spark, sf):
+    """C4-style entity cleanup as one codegen replace chain."""
+    d = _t(spark, sf, "documents")
+    tx = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 1,
+            F.lit(' Tom &amp; Jerry &lt;3 &quot;quoted&quot;'),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(3)) == 2,
+            F.lit(" it&#39;s&nbsp;here &amp;lt;b&amp;gt;"),
+        )
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", T.html_unescape_basic(tx).alias("decoded"))
+
+
 # ------------------------------------------------------------- accessors
 
 def queries() -> dict[str, QueryFn]:

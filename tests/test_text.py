@@ -196,3 +196,26 @@ def test_mojibake_detector(spark):
     milli = df.where("k = 3").select(T.mojibake_milli(F.col("t")).alias("m")).first().m
     text = rows[2][1]
     assert milli == 3 * 1000 // len(text)
+
+
+def test_html_unescape_basic(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Tom &amp; Jerry &lt;3"),
+        (2, "it&#39;s &quot;here&quot;&nbsp;now"),
+        # double-escape decodes ONE level, like a spec single pass
+        (3, "&amp;lt;b&amp;gt; stays literal"),
+        (4, "&eacute; unknown entity survives"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, t STRING")
+    got = {
+        r.k: r.d
+        for r in df.select(
+            "k", T.html_unescape_basic(F.col("t")).alias("d")
+        ).collect()
+    }
+    assert got[1] == "Tom & Jerry <3"
+    assert got[2] == 'it\'s "here" now'
+    assert got[3] == "&lt;b&gt; stays literal"
+    assert got[4] == "&eacute; unknown entity survives"
