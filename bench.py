@@ -34,6 +34,7 @@ from crawler_apple_podcast_spark.operators.bloom import build_bloom_shards, bloo
 from crawler_apple_podcast_spark.operators.politeness import politeness_gate, release_rank_cache
 from crawler_apple_podcast_spark.operators import similarity as S
 from crawler_apple_podcast_spark.operators.dedupe import release_dedupe_cache
+from crawler_apple_podcast_spark.operators.redirects import release_redirect_cache
 from crawler_apple_podcast_spark.session import get_spark
 import crawler_apple_podcast_spark.queries as catalog
 
@@ -86,6 +87,16 @@ HEADLINE = [
     "quality_classifier_score",
     "text_nfc_normalize",
     "events_sessionize",
+    # session-4 additions: byte-routing and fetch-scheduler shapes —
+    # zero-exchange sniffing/feed parse, log2-round redirect
+    # resolution, and the one-join revalidation plan
+    "content_sniff_route",
+    # regex fast twin of the xpath parser (same oracle, same output;
+    # the xpath entry stays in the driver contract as the robust path)
+    "rss_feed_items_fast",
+    "crawl_redirect_resolve",
+    "crawl_revalidation_plan",
+    "text_mojibake_score",
 ]
 
 
@@ -99,6 +110,7 @@ def release_all_caches(spark) -> None:
     S.release_similarity_cache()
     release_dedupe_cache()
     release_rank_cache()
+    release_redirect_cache()
     spark.catalog.clearCache()
 
 

@@ -92,3 +92,38 @@ def feed_audio_urls(xml: Column) -> Column:
     ``asset_url`` list it hands to the downloader,
     ``handler/apple_podcast_api.py:126``)."""
     return F.xpath(xml, F.lit("//item/enclosure/@url"))
+
+
+def parse_feed_items_regex(xml: Column) -> Column:
+    """Fast twin of ``parse_feed_items``: one ``(?s)<item>…</item>``
+    scan isolates item bodies, then each (short) body yields its five
+    fields with anchored ``regexp_extract`` — no DOM construction, so
+    the per-blob constant is a fraction of five Hive xpath parses
+    (bench: the headline entry).  Equivalent to the xpath parser on
+    well-formed aligned feeds (pytest-asserted); differences on
+    damaged input: absent string fields surface as ``''`` instead of
+    NULL, and commented-out/CDATA-wrapped items are not understood —
+    route anything failing ``feed_items_aligned`` through the xpath
+    parser instead."""
+    items = F.regexp_extract_all(xml, F.lit(r"(?s)<item>(.*?)</item>"), 1)
+    return F.transform(
+        items,
+        lambda b: F.struct(
+            F.regexp_extract(b, r"<title>([^<]*)</title>", 1).alias("title"),
+            F.regexp_extract(b, r'<enclosure[^>]*\surl="([^"]*)"', 1).alias(
+                "audio_url"
+            ),
+            F.regexp_extract(b, r'<enclosure[^>]*\slength="([^"]*)"', 1)
+            .cast("long")
+            .alias("length_bytes"),
+            F.unix_timestamp(
+                F.regexp_replace(
+                    F.regexp_extract(b, r"<pubDate>([^<]*)</pubDate>", 1),
+                    _WEEKDAY_RE,
+                    "",
+                ),
+                _RFC822_TAIL,
+            ).alias("pub_epoch"),
+            F.regexp_extract(b, r"<guid>([^<]*)</guid>", 1).alias("guid"),
+        ),
+    )

@@ -3549,8 +3549,7 @@ def text_gopher_rules(spark, sf):
 # url/length, RFC-822 pubDate -> epoch, guid) while the oracle predicts
 # every field analytically — so the xpath extraction, the long cast and
 # the RFC-822 parse are all value-checked, not just row-counted.
-@q(
-    "rss_feed_items",
+_RSS_ITEMS_ORACLE = (
     "WITH j AS (SELECT doc_id, p FROM documents"
     "  CROSS JOIN generate_series(0, 2) t(p) WHERE p < doc_id % 3 + 1)"
     " SELECT doc_id, CAST(p AS BIGINT) AS pos,"
@@ -3559,11 +3558,13 @@ def text_gopher_rules(spark, sf):
     "   || '/' || p || '.mp3' AS audio_url,"
     "  CAST(1000000 + doc_id * 37 + p AS BIGINT) AS length_bytes,"
     "  CAST(1767571200 + doc_id * 3600 + p * 60 AS BIGINT) AS pub_epoch,"
-    "  'g-' || doc_id || '-' || p AS guid FROM j",
+    "  'g-' || doc_id || '-' || p AS guid FROM j"
 )
-def rss_feed_items(spark, sf):
-    """Podcast RSS -> episode rows via JVM xpath (zero shuffle)."""
-    d = _t(spark, sf, "documents")
+
+
+def _rss_feed_xml(d):
+    """(doc_id, _xml): the synthetic 1-3-item feed, shared by the
+    xpath entry, the regex fast twin, and their common oracle."""
     did = F.col("doc_id").cast("string")
 
     def item(i: int):
@@ -3590,7 +3591,14 @@ def rss_feed_items(spark, sf):
         item(0), item(1), item(2),
         F.lit("</channel></rss>"),
     )
-    t = d.select("doc_id", FD.parse_feed_items(xml).alias("_items"))
+    # materialize the XML once: the field scans reference `_xml` as a
+    # plain attribute, so CollapseProject keeps ONE synthesis instead
+    # of inlining the concat into every parse arg
+    return d.select("doc_id", xml.alias("_xml"))
+
+
+def _rss_items_flat(x, parser):
+    t = x.select("doc_id", parser(F.col("_xml")).alias("_items"))
     return t.select("doc_id", F.posexplode("_items").alias("pos", "_it")).select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
@@ -3600,6 +3608,22 @@ def rss_feed_items(spark, sf):
         F.col("_it.pub_epoch").alias("pub_epoch"),
         F.col("_it.guid").alias("guid"),
     )
+
+
+@q("rss_feed_items", _RSS_ITEMS_ORACLE)
+def rss_feed_items(spark, sf):
+    """Podcast RSS -> episode rows via JVM xpath (zero shuffle)."""
+    d = _t(spark, sf, "documents")
+    return _rss_items_flat(_rss_feed_xml(d), FD.parse_feed_items)
+
+
+@q("rss_feed_items_fast", _RSS_ITEMS_ORACLE)
+def rss_feed_items_fast(spark, sf):
+    """Regex fast twin (functions/feeds.py parse_feed_items_regex):
+    identical output on well-formed feeds, same oracle, a fraction of
+    the xpath DOM cost — the headline bench entry."""
+    d = _t(spark, sf, "documents")
+    return _rss_items_flat(_rss_feed_xml(d), FD.parse_feed_items_regex)
 
 
 # Redirect-chain resolution (operators/redirects.py).  Chains of

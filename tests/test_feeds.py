@@ -84,3 +84,30 @@ def test_ragged_feed_is_why_the_gate_exists(spark):
     )
     assert rows[0].audio_url == "https://cdn.example/a/1.mp3"
     assert rows[1].audio_url is None
+
+
+def test_regex_fast_twin_matches_xpath_on_wellformed(spark):
+    df = spark.createDataFrame([(FEED,)], "xml string")
+
+    def rows(parser):
+        return (
+            df.select(F.posexplode(parser(F.col("xml"))).alias("p", "it"))
+            .select("p", "it.*")
+            .orderBy("p")
+            .collect()
+        )
+
+    assert rows(FD.parse_feed_items_regex) == rows(FD.parse_feed_items)
+
+
+def test_regex_twin_multiline_item_bodies(spark):
+    # (?s) makes the item scan span newlines — pretty-printed feeds
+    xml = FEED.replace("<item>", "<item>\n  ").replace("</item>", "\n</item>")
+    df = spark.createDataFrame([(xml,)], "xml string")
+    got = (
+        df.select(F.posexplode(FD.parse_feed_items_regex(F.col("xml"))).alias("p", "it"))
+        .select("it.title", "it.length_bytes")
+        .orderBy("it.length_bytes")
+        .collect()
+    )
+    assert [(r.title, r.length_bytes) for r in got] == [("Ep 1", 111), ("Ep 2", 222)]
