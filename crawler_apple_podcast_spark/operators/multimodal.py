@@ -419,3 +419,74 @@ def gunzip_bodies(
     return df.select(id_col, blob_col).mapInPandas(
         run, f"{id_col} BIGINT, body BINARY, gzip_ok BOOLEAN"
     )
+
+
+# ------------------------------------------------- perceptual hash (aHash)
+
+def ahash_fingerprints(
+    media: DataFrame, blob_col: str = "blob", bits: int = 64
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over a binary blob.
+
+    Classic image aHash downscales to an 8x8 grid and sets bit i when
+    cell i's mean exceeds the global mean.  The same construction over
+    a 1-D byte stream IS average pooling: ``bits`` equal cells
+    ``[floor(i*n/bits), floor((i+1)*n/bits))``, bit i = 1 iff the cell
+    mean strictly exceeds the blob mean.  The comparison is kept in
+    integers (``cell_sum * n > total * cell_len``) so the DuckDB oracle
+    replays it exactly; empty cells (n < bits) yield bit 0 on both
+    sides (0 > 0 is false).  With a real image codec the decode step
+    would feed pixel rows instead of raw bytes — the hash, blocking,
+    and pair machinery are identical.
+
+    Kernel is Arrow-batched numpy (cumsum + fancy-index, no Python
+    per-byte loop); output packs bit i at position i of one signed
+    LONG (two's complement for bit 63), the same layout as SimHash so
+    ``similarity.simhash_near_pairs`` provides banded near-pair search
+    unchanged.  One narrow map over the blobs — zero shuffles.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for row, blob in enumerate(pdf[blob_col]):
+                b = np.frombuffer(blob or b"", dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    out[row] = 0
+                    continue
+                cs = np.concatenate(([0], np.cumsum(b, dtype=np.int64)))
+                bounds = (np.arange(bits + 1, dtype=np.int64) * n) // bits
+                cell_sum = cs[bounds[1:]] - cs[bounds[:-1]]
+                cell_len = bounds[1:] - bounds[:-1]
+                on = cell_sum * n > cs[n] * cell_len
+                out[row] = (weights[on].sum(dtype=np.uint64)).astype(np.int64)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "ahash": out})
+
+    return media.select("media_id", blob_col).mapInPandas(
+        run, "media_id BIGINT, ahash BIGINT"
+    )
+
+
+def ahash_near_pairs(
+    media: DataFrame,
+    blob_col: str = "blob",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Blob near-dup pairs by aHash Hamming distance: fingerprint scan
+    (zero-shuffle) -> 16-bit pigeonhole chunk blocking -> exact
+    bit_count confirm, reusing the SimHash pair machinery.  Returns
+    (media_a, media_b, hamming)."""
+    from . import similarity as S
+
+    fps = ahash_fingerprints(media, blob_col).select(
+        F.col("media_id").alias("doc_id"), F.col("ahash").alias("simhash")
+    )
+    pairs = S.simhash_near_pairs(fps, max_hamming=max_hamming, chunks=chunks)
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

@@ -1843,6 +1843,92 @@ def mm_resize_checksum(spark, sf):
     )
 
 
+# Average-hash (aHash) perceptual fingerprint: bits are exposed to the
+# oracle as 4x16-bit chunk columns (never assembling bit 63 into a
+# signed BIGINT literal), the same convention as the SimHash oracle.
+_AHASH_BITS = 64
+
+
+def _ahash_bit_sql(i: int) -> str:
+    cell = (
+        f"COALESCE(list_sum(codes[({i}*n)//{_AHASH_BITS}+1 :"
+        f" (({i}+1)*n)//{_AHASH_BITS}]), 0)"
+    )
+    ln = f"((({i}+1)*n)//{_AHASH_BITS} - ({i}*n)//{_AHASH_BITS})"
+    return f"(CASE WHEN {cell} * n > total * {ln} THEN 1 ELSE 0 END)"
+
+
+def _ahash_chunk_sql(chunks: int = 4) -> str:
+    width = _AHASH_BITS // chunks
+    return ", ".join(
+        "CAST("
+        + " + ".join(f"{_ahash_bit_sql(c * width + r)} * {1 << r}" for r in range(width))
+        + f" AS BIGINT) AS c{c}"
+        for c in range(chunks)
+    )
+
+
+@q(
+    "mm_ahash_fingerprint",
+    "WITH c AS (SELECT doc_id AS media_id,"
+    " list_transform(string_split(text,''), x -> ascii(x)) AS codes,"
+    " length(text) AS n FROM documents),"
+    " t AS (SELECT media_id, codes, n,"
+    " CAST(COALESCE(list_sum(codes),0) AS BIGINT) AS total FROM c)"
+    f" SELECT media_id, {_ahash_chunk_sql()} FROM t",
+)
+def mm_ahash_fingerprint(spark, sf):
+    """Average-hash perceptual fingerprint of every media blob, exposed
+    as 16-bit chunks (the blocking keys of the near-pair search)."""
+    fp = MM.ahash_fingerprints(MM.synth_media(_t(spark, sf, "documents")))
+    return fp.select(
+        "media_id",
+        *[
+            F.shiftrightunsigned("ahash", 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("long")
+            .alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+
+
+@q(
+    "mm_ahash_near_pairs",
+    # Watermarked-copy scenario: every 5th document gets a twin blob
+    # with one byte rewritten; aHash must pair each twin with its
+    # source at hamming <= 3.  Oracle replays hash + all-pairs exactly.
+    "WITH base AS (SELECT doc_id*2 AS media_id, text FROM documents"
+    " UNION ALL SELECT doc_id*2+1 AS media_id, 'z' || substring(text, 2) AS text"
+    " FROM documents WHERE doc_id % 5 = 0),"
+    " c AS (SELECT media_id,"
+    " list_transform(string_split(text,''), x -> ascii(x)) AS codes,"
+    " length(text) AS n FROM base),"
+    " t AS (SELECT media_id, codes, n,"
+    " CAST(COALESCE(list_sum(codes),0) AS BIGINT) AS total FROM c),"
+    f" f AS (SELECT media_id, {_ahash_chunk_sql()} FROM t),"
+    " p AS (SELECT x.media_id AS media_a, y.media_id AS media_b,"
+    " CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))"
+    " + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT)"
+    " AS hamming FROM f x JOIN f y ON x.media_id < y.media_id)"
+    " SELECT media_a, media_b, hamming FROM p WHERE hamming <= 3",
+)
+def mm_ahash_near_pairs(spark, sf):
+    """Perceptual near-dup pairs over blobs (aHash + pigeonhole
+    blocking + exact Hamming confirm) on a corpus with planted
+    one-byte-perturbed twins."""
+    docs = _t(spark, sf, "documents")
+    base = docs.select((F.col("doc_id") * 2).alias("media_id"), "text")
+    twins = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    media = base.unionAll(twins).select(
+        "media_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return MM.ahash_near_pairs(media, max_hamming=3, chunks=4)
+
+
 # ------------------------------------------------- robots.txt (RFC 9309)
 
 # Both entries synthesize robots bodies / frontier URLs deterministically

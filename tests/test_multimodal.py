@@ -269,3 +269,63 @@ def test_gunzip_bodies_roundtrip_passthrough_corrupt_and_bomb(spark):
     assert got[3] == (None, False)               # CRC/corruption caught
     assert got[4] == (None, False)               # bomb capped at max_bytes
     assert got[5] == (None, None)                # NULL stays NULL
+
+
+def _ahash_ref(data: bytes, bits: int = 64) -> int:
+    """Independent pure-Python referee for the aHash kernel."""
+    n = len(data)
+    if n == 0:
+        return 0
+    total = sum(data)
+    h = 0
+    for i in range(bits):
+        lo, hi = (i * n) // bits, ((i + 1) * n) // bits
+        if sum(data[lo:hi]) * n > total * (hi - lo):
+            h |= 1 << i
+    return h
+
+
+def test_ahash_matches_python_referee(spark):
+    blobs = [
+        b"a" * 48,
+        b"hello world " * 20,
+        bytes(range(200)),
+        b"\xff" * 30 + b"\x00" * 30,   # exercises bit 63 (high cells off)
+        b"\x00" * 30 + b"\xff" * 34,   # exercises bit 63 on (sign packing)
+        b"x",                          # n < bits: empty cells -> bit 0
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "media_id LONG, blob BINARY",
+    )
+    got = {r.media_id: r.ahash for r in MM.ahash_fingerprints(df).collect()}
+    for i, b in enumerate(blobs):
+        want = _ahash_ref(b)
+        want_signed = want - (1 << 64) if want >= 1 << 63 else want
+        assert got[i] == want_signed, f"blob {i}"
+
+
+def test_ahash_near_pairs_finds_perturbed_twins(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        body = bytes(rng.randrange(32, 127) for _ in range(400))
+        rows.append((i * 2, bytearray(body)))
+        if i % 4 == 0:  # twin with one byte rewritten
+            rows.append((i * 2 + 1, bytearray(b"z" + body[1:])))
+    df = spark.createDataFrame(rows, "media_id LONG, blob BINARY")
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in MM.ahash_near_pairs(df, max_hamming=3).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(40) if i % 4 == 0}
+    assert planted <= pairs  # every twin recovered
+    # random 400-byte blobs are far apart: nothing beyond the twins
+    assert pairs == planted
+    from crawler_apple_podcast_spark.operators.similarity import (
+        release_similarity_cache,
+    )
+    release_similarity_cache()
