@@ -2624,6 +2624,36 @@ def text_lm_bigram_score(spark, sf):
     return bigram_continuation_score(_t(spark, sf, "documents"))
 
 
+# PMI-ranked bigram collocations (operators/collocations.py): PMI's
+# ordering is the lift rational C(ab)·N/(C(a)·C(b)) — scored as exact
+# integer lift_milli, so the oracle replays the ranking bit-for-bit
+# and the top-k boundary is engine-independent.
+@q(
+    "text_collocations",
+    "WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+    "  t -> t <> '') AS ts FROM documents),"
+    " uni AS (SELECT unnest(ts) AS w FROM tk),"
+    " uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),"
+    " tot AS (SELECT count(*) AS n FROM uni),"
+    " bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM"
+    "  (SELECT ts, unnest(range(1, len(ts))) AS i FROM tk) s),"
+    " bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),"
+    " sc AS (SELECT w1, w2, n_ab,"
+    "  CAST((n_ab * n * 1000) // (a.cw * b.cw) AS BIGINT) AS lift_milli"
+    "  FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2"
+    "  CROSS JOIN tot WHERE n_ab >= 3)"
+    " SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, lift_milli FROM sc"
+    " ORDER BY lift_milli DESC, w1, w2 LIMIT 100",
+)
+def text_collocations(spark, sf):
+    """Top-100 bigram collocations by exact integer lift (PMI order)."""
+    from .operators.collocations import collocation_lift_topk
+
+    return collocation_lift_topk(
+        _t(spark, sf, "documents"), "doc_id", "text", k=100, min_count=3
+    )
+
+
 # Sitemap discovery from robots.txt Sitemap: directives
 # (operators/robots.py:sitemap_directives) — host-global lines, not
 # group rules; the lowercase/no-space variant checks parser laxity.

@@ -219,3 +219,41 @@ def test_html_unescape_basic(spark):
     assert got[2] == 'it\'s "here" now'
     assert got[3] == "&lt;b&gt; stays literal"
     assert got[4] == "&eacute; unknown entity survives"
+
+
+def test_collocation_lift_topk_matches_referee(spark):
+    from collections import Counter
+
+    from crawler_apple_podcast_spark.operators.collocations import (
+        collocation_lift_topk,
+    )
+
+    texts = [
+        "new york is a big city",
+        "new york has new people",
+        "big city big city lights",
+        "york is new and new york wins",
+        "a city of new york",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+    toks = [t.split() for t in texts]
+    uni = Counter(w for ts in toks for w in ts)
+    n = sum(uni.values())
+    bi = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    want = sorted(
+        (
+            (w1, w2, c, (c * n * 1000) // (uni[w1] * uni[w2]))
+            for (w1, w2), c in bi.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:5]
+    got = [
+        (r.w1, r.w2, r.n_ab, r.lift_milli)
+        for r in collocation_lift_topk(df, "doc_id", "text", k=5, min_count=2).collect()
+    ]
+    assert got == want
+    assert ("new", "york") in {(a, b) for a, b, _, _ in got}
