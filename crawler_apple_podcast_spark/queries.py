@@ -2654,6 +2654,31 @@ def text_collocations(spark, sf):
     )
 
 
+# Inverted index (operators/index.py): df-cutoff then capped sorted
+# posting lists, serialized comma-joined so the value hash never sees
+# engine array types.
+@q(
+    "text_inverted_index",
+    "WITH tk AS (SELECT DISTINCT doc_id, unnest(list_filter("
+    "  string_split(text, ' '), t -> t <> '')) AS term FROM documents),"
+    " dfc AS (SELECT term, count(*) AS df FROM tk GROUP BY term),"
+    " tot AS (SELECT count(*) AS nd FROM documents),"
+    " keep AS (SELECT term, df FROM dfc, tot WHERE df * 1000 <= nd * 800)"
+    " SELECT tk.term, CAST(min(keep.df) AS BIGINT) AS df,"
+    " array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings"
+    " FROM tk JOIN keep USING (term) GROUP BY tk.term",
+)
+def text_inverted_index(spark, sf):
+    """Posting lists with stopword df-cutoff (800 per-mille) and a
+    16-id cap applied before any list materializes."""
+    from .operators.index import build_postings
+
+    return build_postings(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        max_df_milli=800, max_postings=16,
+    )
+
+
 # Sitemap discovery from robots.txt Sitemap: directives
 # (operators/robots.py:sitemap_directives) — host-global lines, not
 # group rules; the lowercase/no-space variant checks parser laxity.

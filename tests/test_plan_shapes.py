@@ -202,3 +202,22 @@ def test_redirect_resolution_round_count_is_logarithmic(spark):
     assert "CartesianProduct" not in p and "SinglePartition" not in p
     for f in reg:
         f.unpersist()
+
+
+def test_inverted_index_window_and_group_share_term_exchange(spark, qs):
+    # The df cutoff must reach the posting branch as a BROADCAST join
+    # (stopword rows die before any term-keyed shuffle), and the
+    # row_number cap + final groupBy(term) must share ONE term-only
+    # exchange.  Budget: 2x (doc_id,term) distinct (deliberate diamond,
+    # see operators/index.py) + 1 term exchange + broadcasts + the
+    # scalar doc-count = 6.
+    p = _plan(qs["text_inverted_index"](spark, SF))
+    assert p.count("Exchange") <= 6
+    assert "HashedRelationBroadcastMode" in p
+    import re
+    term_only = [
+        m for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        if "doc_id" not in m.group(1)
+    ]
+    assert len(term_only) == 1, term_only
+    assert "Window" in p and "collect_list" in p

@@ -257,3 +257,30 @@ def test_collocation_lift_topk_matches_referee(spark):
     ]
     assert got == want
     assert ("new", "york") in {(a, b) for a, b, _, _ in got}
+
+
+def test_build_postings_matches_referee_and_caps(spark):
+    from crawler_apple_podcast_spark.operators.index import build_postings
+
+    texts = {
+        0: "x common alpha",
+        1: "x common beta",
+        2: "x common alpha gamma",
+        3: "x delta",
+        4: "x epsilon common",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id LONG, text STRING"
+    )
+    # max_df_milli=700 -> df cutoff at 3.5: 'x' (df 5) and 'common'
+    # (df 4) dropped; cap=2 truncates alpha's postings to first 2 ids.
+    got = {
+        r.term: (r.df, r.postings)
+        for r in build_postings(df, "doc_id", "text", 700, 2).collect()
+    }
+    assert "x" not in got and "common" not in got
+    assert got["alpha"] == (2, "0,2")
+    assert got["beta"] == (1, "1")
+    assert got["delta"] == (1, "3")
+    assert got["epsilon"] == (1, "4")
+    assert got["gamma"] == (1, "2")
