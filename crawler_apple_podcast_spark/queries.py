@@ -3829,6 +3829,92 @@ def crawl_redirect_resolve(spark, sf):
     return resolve_redirects(chains.unionByName(cycles), max_hops=4)
 
 
+# rel=canonical alias extraction + chain collapse
+# (operators/canonical.py).  Pages synthesized from documents declare:
+# doc 3 <-> doc 9 a canonical CYCLE (truncated); doc_id%3==1 an
+# absolute canonical to url(doc_id+1) whose target (%3==2) declares a
+# root-RELATIVE canonical onto its own host (2-hop chain, exercises
+# resolve_href); doc_id%6==0 a self-canonical (dropped: confirmation,
+# not an edge); the rest none.  By construction no chain exceeds 2
+# hops (the %3==2 target is off-graph: host h(i%7) never equals
+# h((i-1)%7)), so the oracle collapses chains with two LEFT JOINs and
+# calls any survivor truncated.  The oracle replays the REGEXES over
+# the html, not just the href construction.
+_CANON_URL = "'https://h' || ({i} % 7) || '.example.com/p/' || {i}"
+
+
+@q(
+    "crawl_canonical_alias",
+    "WITH d AS (SELECT doc_id, text,"
+    f" {_CANON_URL.format(i='doc_id')} AS url,"
+    " CASE WHEN doc_id = 3 THEN " + _CANON_URL.format(i="9") +
+    " WHEN doc_id = 9 THEN " + _CANON_URL.format(i="3") +
+    " WHEN doc_id % 3 = 1 THEN " + _CANON_URL.format(i="(doc_id+1)") +
+    " WHEN doc_id % 3 = 2 THEN '/p/' || (doc_id - 1)"
+    " WHEN doc_id % 6 = 0 THEN " + _CANON_URL.format(i="doc_id") +
+    " END AS hd FROM documents),"
+    " pg AS (SELECT url, CASE WHEN hd IS NULL THEN"
+    " '<html><head></head><body>' || text"
+    " ELSE '<html><head><link rel=\"canonical\" href=\"' || hd ||"
+    " '\"/></head><body>' || text END AS html FROM d),"
+    " x AS (SELECT url, nullif(regexp_extract(regexp_extract(html,"
+    " '<link[^>]*rel=\"canonical\"[^>]*>', 0), 'href=\"([^\"]*)\"', 1),"
+    " '') AS href FROM pg),"
+    " e AS (SELECT url AS src, CASE WHEN href LIKE '/%' AND href NOT LIKE '//%'"
+    " THEN regexp_extract(url, '^(https://[^/]+)', 1) || href"
+    " ELSE href END AS dst FROM x WHERE href IS NOT NULL),"
+    " e2 AS (SELECT src, dst FROM e WHERE dst <> src),"
+    " r AS (SELECT a.src, a.dst AS d1, b.dst AS d2, c.src AS c3"
+    " FROM e2 a LEFT JOIN e2 b ON a.dst = b.src"
+    " LEFT JOIN e2 c ON b.dst = c.src)"
+    " SELECT src AS src_url,"
+    " CASE WHEN d2 IS NULL THEN d1 WHEN c3 IS NULL THEN d2 END AS final_url,"
+    " CASE WHEN d2 IS NULL THEN CAST(1 AS BIGINT)"
+    " WHEN c3 IS NULL THEN CAST(2 AS BIGINT) END AS hops,"
+    " CASE WHEN d2 IS NULL OR c3 IS NULL THEN 'resolved'"
+    " ELSE 'truncated' END AS status FROM r",
+)
+def crawl_canonical_alias(spark, sf):
+    """rel=canonical extraction (codegen regex), base resolution, and
+    pointer-doubling chain collapse into (alias -> canonical final)."""
+    from .operators.canonical import resolve_canonical
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+
+    def url(i):
+        return F.concat(
+            F.lit("https://h"),
+            F.pmod(i, F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"),
+            i.cast("string"),
+        )
+
+    href = (
+        F.when(did == 3, url(F.lit(9)))
+        .when(did == 9, url(F.lit(3)))
+        .when(F.pmod(did, F.lit(3)) == 1, url(did + 1))
+        .when(
+            F.pmod(did, F.lit(3)) == 2,
+            F.concat(F.lit("/p/"), (did - 1).cast("string")),
+        )
+        .when(F.pmod(did, F.lit(6)) == 0, url(did))
+    )
+    html = F.when(
+        href.isNull(),
+        F.concat(F.lit("<html><head></head><body>"), F.col("text")),
+    ).otherwise(
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="'),
+            href,
+            F.lit('"/></head><body>'),
+            F.col("text"),
+        )
+    )
+    pages = d.select(url(did).alias("url"), html.alias("html"))
+    return resolve_canonical(pages, max_hops=8)
+
+
 # Content sniffing (functions/sniff.py): eight byte-level blob classes
 # (BOM'd HTML, meta-charset HTML, PDF, PNG, GIF, gzip, XML, UTF-16LE
 # BOM) are synthesized as REAL bytes on the Spark side and routed by
