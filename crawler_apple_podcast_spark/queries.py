@@ -3829,6 +3829,44 @@ def crawl_redirect_resolve(spark, sf):
     return resolve_redirects(chains.unionByName(cycles), max_hops=4)
 
 
+# Rendezvous (HRW) shard assignment (operators/sharding.py): the
+# frontier's elastic-resharding primitive.  The arithmetic weight
+# family is replayed literally in the oracle; ties break to the first
+# max on both engines (array_position / list_position).
+def _rendezvous_oracle(n_shards: int = 16) -> str:
+    from .operators.sharding import shard_params
+    from .operators.similarity import SIMHASH_M
+
+    P, Q = shard_params(n_shards)
+    lw = ", ".join(f"(cs * {P[i]} + {Q[i]}) % {SIMHASH_M}" for i in range(n_shards))
+    return (
+        "WITH u AS (SELECT 'https://h' || (doc_id % 7) || '.example.com/p/'"
+        " || doc_id AS url FROM documents),"
+        " w AS (SELECT url, CAST(list_sum(list_transform(string_split(url, ''),"
+        " c -> ascii(c))) AS BIGINT) AS cs FROM u),"
+        f" l AS (SELECT url, list_value({lw}) AS lw FROM w)"
+        " SELECT url, CAST(list_position(lw, list_aggregate(lw, 'max')) - 1"
+        " AS INT) AS shard FROM l"
+    )
+
+
+@q("frontier_rendezvous_shard", _rendezvous_oracle())
+def frontier_rendezvous_shard(spark, sf):
+    """HRW shard of every frontier URL over 16 shards (arithmetic
+    weight family; xxhash64 twin shares the plan shape)."""
+    from .operators.sharding import rendezvous_shard_arith
+
+    u = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return rendezvous_shard_arith(u, "url", 16)
+
+
 # rel=canonical alias extraction + chain collapse
 # (operators/canonical.py).  Pages synthesized from documents declare:
 # doc 3 <-> doc 9 a canonical CYCLE (truncated); doc_id%3==1 an
