@@ -126,6 +126,45 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(host == "", url).otherwise(canon)
 
 
+# Ad/analytics parameters that denote the SAME resource: the classic
+# frontier-inflation source (every email/social referral mints a
+# distinct URL).  Keys only — values are wildcards by construction.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]+|gclid|dclid|fbclid|msclkid|yclid|twclid|igshid"
+    r"|mc_eid|mc_cid|mkt_tok|oly_enc_id|oly_anon_id|vero_id|_hsenc"
+    r"|_hsmi|s_cid|spm|ref_src)="
+)
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Drop tracking query parameters (``utm_*``, click ids) — compose
+    BEFORE ``canonicalize_url`` so referral alias variants collapse to
+    one seen-set key instead of inflating the frontier.  Codegen-only:
+    split the query on ``&``, ``filter`` out keys matching the
+    tracking list, rejoin; a query left empty loses its ``?``.
+
+    URLs ``try_parse_url`` rejects (bad escapes) pass through
+    unchanged — same malformed-input policy as ``canonicalize_url``
+    (junk stays a distinct key; nothing throws, nothing collapses).
+    """
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(query, "&"), lambda p: ~p.rlike(TRACKING_PARAM_RE)
+    )
+    new_q = F.array_join(kept, "&")
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    frag = F.regexp_extract(url, r"(#.*)$", 1)
+    return F.when(query.isNull() | (F.length(query) == 0), url).otherwise(
+        F.concat(
+            base,
+            F.when(F.length(new_q) > 0, F.concat(F.lit("?"), new_q)).otherwise(
+                F.lit("")
+            ),
+            frag,
+        )
+    )
+
+
 def url_hash(url: Column, seed: int | None = None) -> Column:
     """64-bit JVM-side hash key (xxhash64); ``seed`` derives independent
     hash families for Bloom double-hashing."""

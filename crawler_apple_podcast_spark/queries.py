@@ -204,6 +204,47 @@ def url_canonicalize(spark, sf):
     return e.select("event_id", U.canonicalize_url(raw).alias("canon"))
 
 
+# strip_tracking_params (functions/urls.py): referral-alias collapse.
+# Four query shapes — all-tracking (loses its '?'), mixed, clean, no
+# query — with fragments on every 5th URL.  The oracle replays the
+# regex FILTER over the split query, not the expected output.
+@q(
+    "url_strip_tracking",
+    "WITH u AS (SELECT doc_id, 'https://ex.com/p/' || doc_id ||"
+    " CASE doc_id % 4"
+    "  WHEN 0 THEN '?utm_source=only&fbclid=x' || doc_id"
+    "  WHEN 1 THEN '?id=' || doc_id || '&utm_campaign=c&gclid=g' || doc_id"
+    "  WHEN 2 THEN '?a=1&b=' || doc_id"
+    "  ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS raw FROM documents),"
+    " q AS (SELECT doc_id, raw, regexp_extract(raw, '[?]([^#]*)', 1) AS qs"
+    " FROM u),"
+    " f AS (SELECT doc_id, raw, qs, array_to_string(list_filter("
+    " string_split(qs, '&'), p -> NOT regexp_matches(p,"
+    " '^(utm_[a-z0-9_]+|gclid|dclid|fbclid|msclkid|yclid|twclid|igshid"
+    "|mc_eid|mc_cid|mkt_tok|oly_enc_id|oly_anon_id|vero_id|_hsenc"
+    "|_hsmi|s_cid|spm|ref_src)=')), '&') AS nq FROM q)"
+    " SELECT doc_id, CASE WHEN qs = '' THEN raw ELSE"
+    " regexp_extract(raw, '^([^?#]*)', 1) ||"
+    " CASE WHEN nq <> '' THEN '?' || nq ELSE '' END ||"
+    " regexp_extract(raw, '(#.*)$', 1) END AS url FROM f",
+)
+def url_strip_tracking(spark, sf):
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    m4 = F.pmod("doc_id", F.lit(4))
+    raw = F.concat(
+        F.lit("https://ex.com/p/"),
+        did,
+        F.when(m4 == 0, F.concat(F.lit("?utm_source=only&fbclid=x"), did))
+        .when(m4 == 1, F.concat(F.lit("?id="), did, F.lit("&utm_campaign=c&gclid=g"), did))
+        .when(m4 == 2, F.concat(F.lit("?a=1&b="), did))
+        .otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", U.strip_tracking_params(raw).alias("url"))
+
+
 @q(
     "p8_explode_tokens",
     "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token"

@@ -278,3 +278,30 @@ def test_anchor_text_agg_dedupes_per_page(spark):
     assert [(r.anchor, r.n_pages, r.rk) for r in sorted(rows, key=lambda r: r.rk)] == [
         ("x", 2, 1), ("z", 2, 2)  # tie on 2 -> anchor asc; y (1) cut by k=2
     ]
+
+
+def test_strip_tracking_params(spark):
+    from crawler_apple_podcast_spark.functions.urls import strip_tracking_params
+
+    cases = {
+        # mixed: tracking keys go, order of survivors preserved
+        "https://a.ex/p?id=1&utm_source=nl&x=2&gclid=z": "https://a.ex/p?id=1&x=2",
+        # all-tracking: the '?' disappears too
+        "https://a.ex/p?utm_campaign=c&fbclid=f": "https://a.ex/p",
+        # fragment survives in place
+        "https://a.ex/p?utm_medium=m&k=v#sec": "https://a.ex/p?k=v#sec",
+        # no query: untouched
+        "https://a.ex/p#only-frag": "https://a.ex/p#only-frag",
+        # value containing 'utm_source=' is NOT a tracking KEY
+        "https://a.ex/p?next=utm_source%3Dx": "https://a.ex/p?next=utm_source%3Dx",
+        # utm key must match at the key position only
+        "https://a.ex/p?xutm_source=1": "https://a.ex/p?xutm_source=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url STRING")
+    got = {
+        r.url: r.out
+        for r in df.select(
+            "url", strip_tracking_params(F.col("url")).alias("out")
+        ).collect()
+    }
+    assert got == cases
