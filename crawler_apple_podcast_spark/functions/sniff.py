@@ -107,3 +107,30 @@ def sniff_content(blob: Column) -> Column:
     return F.struct(
         sniff_mime(blob).alias("mime"), sniff_charset(blob).alias("charset")
     )
+
+
+# ------------------------------------------------- soft-404 detection
+
+# Error pages served with HTTP 200 — every big site has them, and an
+# unfiltered crawl trains on millions of "Page Not Found" boilerplate
+# documents.  Heuristics are the standard ones (title markers; body
+# markers on THIN pages only, so an article *about* 404s survives).
+SOFT404_RE = (
+    r"(?i)(page not found|not found|error 404|404 error"
+    r"|does not exist|no longer available|been removed)"
+)
+
+
+def soft404_reason(status: Column, html: Column, thin_bytes: int = 512) -> Column:
+    """NULL for a good page; otherwise why it is a soft 404:
+    ``'title'`` (title carries an error marker) or ``'thin-body'``
+    (body marker AND page under ``thin_bytes``).  Pages whose HTTP
+    status already says 4xx/5xx are NOT soft 404s — the status is
+    honest — so they come back NULL too.  Codegen-only."""
+    title = F.regexp_extract(html, r"(?i)<title>([^<]*)</title>", 1)
+    title_hit = title.rlike(SOFT404_RE)
+    body_hit = html.rlike(SOFT404_RE) & (F.length(html) < thin_bytes)
+    return F.when(
+        status == 200,
+        F.when(title_hit, F.lit("title")).when(body_hit, F.lit("thin-body")),
+    )

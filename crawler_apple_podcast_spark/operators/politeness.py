@@ -309,3 +309,66 @@ def pacing_carry_update(
         .otherwise(F.col("_credit") - F.col("_n") * F.col("delay_ms"))
         .alias("carry_ms"),
     )
+
+
+# --------------------------------------- adaptive crawl-delay (AIMD)
+
+def adaptive_delay(
+    fetch_log: DataFrame,
+    delays: DataFrame,
+    default_delay_ms: int = 1000,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 60_000,
+    err_backoff_milli: int = 100,
+    fast_latency_ms: int = 200,
+    decrease_step_ms: int = 50,
+) -> DataFrame:
+    """AIMD crawl-delay controller: per host, tune the politeness delay
+    from the last wave's observed behavior the way TCP tunes cwnd —
+    multiplicative backoff on distress, additive decrease when the
+    server is comfortably fast, hold otherwise.
+
+    - error share > ``err_backoff_milli`` per-mille  -> ``delay * 2``
+      (capped at ``max_delay_ms``), action ``'backoff'``;
+    - mean latency < ``fast_latency_ms``             -> ``delay -
+      decrease_step_ms`` (floored at ``min_delay_ms``), ``'decrease'``;
+    - otherwise ``'hold'``.  Hosts with traffic but no delay row start
+      from ``default_delay_ms``; hosts with a delay row but no traffic
+      hold.
+
+    All state is integers (error share in per-mille, mean latency by
+    integer division), so the controller replays exactly in SQL and
+    two engines never drift by a rounding ULP.  Plan: one map-side-
+    combined groupBy(host) over the fetch log + one host-keyed outer
+    join against the (hosts-sized, not fetch-sized) delay table.
+    """
+    stats = fetch_log.groupBy("host").agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_err"),
+        F.sum("latency_ms").alias("_lat_sum"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = delays.select("host", "delay_ms").join(stats, "host", "full_outer")
+    cur = F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+    err_milli = F.expr("(1000 * n_err) div (n_ok + n_err)")
+    mean_lat = F.expr("_lat_sum div _n")
+    action = F.when(F.col("_n").isNull(), F.lit("hold")).when(
+        err_milli > err_backoff_milli, F.lit("backoff")
+    ).when(mean_lat < fast_latency_ms, F.lit("decrease")).otherwise(F.lit("hold"))
+    nxt = (
+        F.when(action == "backoff", F.least(cur * 2, F.lit(max_delay_ms)))
+        .when(
+            action == "decrease",
+            F.greatest(cur - decrease_step_ms, F.lit(min_delay_ms)),
+        )
+        .otherwise(cur)
+    )
+    return j.select(
+        "host",
+        nxt.cast("long").alias("delay_ms"),
+        F.coalesce("n_ok", F.lit(0)).cast("long").alias("n_ok"),
+        F.coalesce("n_err", F.lit(0)).cast("long").alias("n_err"),
+        F.coalesce(err_milli, F.lit(0)).cast("long").alias("err_milli"),
+        F.coalesce(mean_lat, F.lit(-1)).cast("long").alias("mean_latency_ms"),
+        action.alias("action"),
+    )

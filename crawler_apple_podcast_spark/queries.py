@@ -3870,6 +3870,131 @@ def crawl_redirect_resolve(spark, sf):
     return resolve_redirects(chains.unionByName(cycles), max_hops=4)
 
 
+# AIMD adaptive crawl-delay (operators/politeness.py:adaptive_delay):
+# per-host delay tuned from observed error share / latency, all
+# integer so the controller replays exactly in SQL.  Host classes are
+# engineered so all three actions fire: user_id%20<3 hosts throw 200
+# per-mille errors (backoff), small-modulus-latency hosts run fast
+# (decrease), 'x' hosts have traffic but no delay row (default), h20+
+# delay rows see no traffic (hold).
+@q(
+    "politeness_adaptive_delay",
+    "WITH log AS (SELECT CASE WHEN event_id % 13 = 0 THEN 'x' || (user_id % 3)"
+    " ELSE 'h' || (user_id % 20) END AS host,"
+    " CASE WHEN user_id % 20 < 3 THEN (event_id % 5 <> 0) ELSE TRUE END AS ok,"
+    " 50 + (event_id % (100 + (user_id % 20) * 20)) AS lat FROM events),"
+    " st AS (SELECT host, sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok,"
+    " sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_err, sum(lat) AS ls,"
+    " count(*) AS n FROM log GROUP BY host),"
+    " dl AS (SELECT 'h' || doc_id AS host, 100 * (doc_id + 1) AS dly"
+    " FROM documents WHERE doc_id < 25),"
+    " j AS (SELECT COALESCE(dl.host, st.host) AS host, dly, n_ok, n_err,"
+    " ls, n FROM dl FULL OUTER JOIN st ON dl.host = st.host),"
+    " c AS (SELECT host, COALESCE(dly, 1000) AS cur, n_ok, n_err,"
+    " (1000 * n_err) // (n_ok + n_err) AS em, ls // n AS ml, n FROM j)"
+    " SELECT host, CAST(CASE WHEN n IS NULL THEN cur"
+    " WHEN em > 100 THEN least(cur * 2, 60000)"
+    " WHEN ml < 200 THEN greatest(cur - 50, 100)"
+    " ELSE cur END AS BIGINT) AS delay_ms,"
+    " CAST(COALESCE(n_ok, 0) AS BIGINT) AS n_ok,"
+    " CAST(COALESCE(n_err, 0) AS BIGINT) AS n_err,"
+    " CAST(COALESCE(em, 0) AS BIGINT) AS err_milli,"
+    " CAST(COALESCE(ml, -1) AS BIGINT) AS mean_latency_ms,"
+    " CASE WHEN n IS NULL THEN 'hold' WHEN em > 100 THEN 'backoff'"
+    " WHEN ml < 200 THEN 'decrease' ELSE 'hold' END AS action FROM c",
+)
+def politeness_adaptive_delay(spark, sf):
+    """AIMD delay controller over a synthesized fetch log + delay
+    table (TCP-style: multiplicative backoff, additive decrease)."""
+    from .operators.politeness import adaptive_delay
+
+    e = _t(spark, sf, "events")
+    host = F.when(
+        F.pmod("event_id", F.lit(13)) == 0,
+        F.concat(F.lit("x"), F.pmod("user_id", F.lit(3)).cast("string")),
+    ).otherwise(F.concat(F.lit("h"), F.pmod("user_id", F.lit(20)).cast("string")))
+    ok = F.when(
+        F.pmod("user_id", F.lit(20)) < 3, F.pmod("event_id", F.lit(5)) != 0
+    ).otherwise(F.lit(True))
+    lat = (
+        F.lit(50)
+        + F.pmod("event_id", F.lit(100) + F.pmod("user_id", F.lit(20)) * 20)
+    ).cast("long")
+    log = e.select(host.alias("host"), ok.alias("ok"), lat.alias("latency_ms"))
+    dl = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 25)
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+            (100 * (F.col("doc_id") + 1)).cast("long").alias("delay_ms"),
+        )
+    )
+    return adaptive_delay(log, dl)
+
+
+# Soft-404 detection (functions/sniff.py): error pages served with
+# HTTP 200.  Five page shapes x honest-status override; the oracle
+# replays the title/body regexes and the thin-page gate.
+@q(
+    "crawl_soft404_detect",
+    "WITH p AS (SELECT doc_id,"
+    " CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,"
+    " CASE doc_id % 5"
+    "  WHEN 0 THEN '<html><title>404 Not Found</title><body>gone</body>'"
+    "  WHEN 1 THEN '<html><title>Oops</title><body>Page not found.</body>'"
+    "  WHEN 2 THEN '<html><title>History</title><body>an essay: not found"
+    " pages through the ages. ' || text || '</body>'"
+    "  WHEN 3 THEN '<html><title>Hi</title><body>ok</body>'"
+    "  ELSE '<html><body>' || text || '</body>' END AS html FROM documents),"
+    " r AS (SELECT doc_id, status, CASE WHEN status = 200 THEN"
+    " CASE WHEN regexp_matches(regexp_extract(html,"
+    " '(?i)<title>([^<]*)</title>', 1),"
+    " '(?i)(page not found|not found|error 404|404 error|does not exist"
+    "|no longer available|been removed)') THEN 'title'"
+    " WHEN regexp_matches(html,"
+    " '(?i)(page not found|not found|error 404|404 error|does not exist"
+    "|no longer available|been removed)') AND length(html) < 512"
+    " THEN 'thin-body' END END AS reason FROM p)"
+    " SELECT doc_id, CAST(status AS INT) AS status, reason,"
+    " CAST(CASE WHEN reason IS NULL THEN 0 ELSE 1 END AS INT) AS is_soft"
+    " FROM r",
+)
+def crawl_soft404_detect(spark, sf):
+    """Soft-404 heuristics over synthesized fetch results; honest 4xx
+    statuses are exempt."""
+    from .functions.sniff import soft404_reason
+
+    d = _t(spark, sf, "documents")
+    m5 = F.pmod("doc_id", F.lit(5))
+    status = F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit(404)).otherwise(
+        F.lit(200)
+    )
+    html = (
+        F.when(m5 == 0, F.lit("<html><title>404 Not Found</title><body>gone</body>"))
+        .when(m5 == 1, F.lit("<html><title>Oops</title><body>Page not found.</body>"))
+        .when(
+            m5 == 2,
+            F.concat(
+                F.lit(
+                    "<html><title>History</title><body>an essay: not found"
+                    " pages through the ages. "
+                ),
+                F.col("text"),
+                F.lit("</body>"),
+            ),
+        )
+        .when(m5 == 3, F.lit("<html><title>Hi</title><body>ok</body>"))
+        .otherwise(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body>")))
+    )
+    reason = soft404_reason(status, html)
+    return d.select(
+        "doc_id",
+        status.cast("int").alias("status"),
+        reason.alias("reason"),
+        F.when(reason.isNull(), F.lit(0)).otherwise(F.lit(1)).cast("int").alias("is_soft"),
+    )
+
+
 # Rendezvous (HRW) shard assignment (operators/sharding.py): the
 # frontier's elastic-resharding primitive.  The arithmetic weight
 # family is replayed literally in the oracle; ties break to the first

@@ -219,3 +219,49 @@ def test_gate_invariants_property(spark, spec, budget_vals):
         k = min(b, len(allp))
         assert len(got) == k  # (1) exactly budget (or all pending)
         assert got == allp[:k]  # (3) priority-first
+
+
+def test_adaptive_delay_aimd_actions(spark):
+    from crawler_apple_podcast_spark.operators.politeness import adaptive_delay
+
+    log = spark.createDataFrame(
+        # sick: 2/4 errors -> backoff; fast: all ok, mean 100 -> decrease
+        # slow: all ok, mean 500 -> hold; fresh: no delay row, fast
+        [("sick", True, 100), ("sick", False, 100), ("sick", True, 100),
+         ("sick", False, 100),
+         ("fast", True, 90), ("fast", True, 110),
+         ("slow", True, 500), ("slow", True, 500),
+         ("fresh", True, 50)],
+        "host STRING, ok BOOLEAN, latency_ms LONG",
+    )
+    delays = spark.createDataFrame(
+        [("sick", 400), ("fast", 400), ("slow", 400), ("idle", 400),
+         ("floor", 100)],
+        "host STRING, delay_ms LONG",
+    )
+    # floor host: fast but already at min -> stays 100
+    log = log.union(
+        spark.createDataFrame([("floor", True, 10)],
+                              "host STRING, ok BOOLEAN, latency_ms LONG")
+    )
+    out = {
+        r.host: (r.delay_ms, r.action)
+        for r in adaptive_delay(log, delays).collect()
+    }
+    assert out["sick"] == (800, "backoff")          # 500 per-mille errs
+    assert out["fast"] == (350, "decrease")         # mean 100 < 200
+    assert out["slow"] == (400, "hold")
+    assert out["idle"] == (400, "hold")             # delay row, no traffic
+    assert out["fresh"] == (950, "decrease")        # default 1000 - 50
+    assert out["floor"] == (100, "decrease")        # clamped at min
+
+
+def test_adaptive_delay_backoff_caps_at_max(spark):
+    from crawler_apple_podcast_spark.operators.politeness import adaptive_delay
+
+    log = spark.createDataFrame(
+        [("h", False, 100)], "host STRING, ok BOOLEAN, latency_ms LONG"
+    )
+    delays = spark.createDataFrame([("h", 50_000)], "host STRING, delay_ms LONG")
+    row = adaptive_delay(log, delays).collect()[0]
+    assert (row.delay_ms, row.action) == (60_000, "backoff")

@@ -284,3 +284,25 @@ def test_build_postings_matches_referee_and_caps(spark):
     assert got["delta"] == (1, "3")
     assert got["epsilon"] == (1, "4")
     assert got["gamma"] == (1, "2")
+
+
+def test_soft404_reason_heuristics(spark):
+    from crawler_apple_podcast_spark.functions.sniff import soft404_reason
+
+    rows = [
+        (1, 200, "<html><title>404 Not Found</title><body>x</body>"),
+        (2, 200, "<html><title>ok</title><body>Page not found.</body>"),
+        # body marker but LONG page: an article about 404s survives
+        (3, 200, "<html><title>essay</title><body>not found " + "w " * 400 + "</body>"),
+        (4, 200, "<html><title>fine</title><body>hello</body>"),
+        # honest hard 404: status tells the truth, not a soft 404
+        (5, 404, "<html><title>404 Not Found</title><body>x</body>"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, status INT, html STRING")
+    got = {
+        r.id: r.reason
+        for r in df.select(
+            "id", soft404_reason(F.col("status"), F.col("html")).alias("reason")
+        ).collect()
+    }
+    assert got == {1: "title", 2: "thin-body", 3: None, 4: None, 5: None}
