@@ -151,3 +151,93 @@ def heavy_hitters_exact(df, key_col: str, k: int):
         .where(F.col("n_exact") * F.lit(k) > F.col("_n"))
         .select(key_col, "n_exact")
     )
+
+
+def value_histogram(df, key_col: str, value_col: str):
+    """Per-key value histogram ``(key, value, c)`` — the mergeable
+    summary behind :func:`exact_percentiles`.
+
+    This is the quantile analog of the HLL rows above: a crawl ledger
+    stores one histogram per (host, wave) instead of raw per-fetch
+    latencies, and histograms MERGE by adding counts (associative,
+    commutative — :func:`merge_histograms`), so per-wave summaries
+    roll up across any partitioning with NO loss: unlike HLL/KLL the
+    rollup is exact, because integer-ms latencies have bounded
+    cardinality per key (state is O(distinct values), not O(rows)).
+    One shuffle on (key, value) with map-side combine; the raw rows
+    never move again."""
+    return df.groupBy(key_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+
+
+def merge_histograms(*hists):
+    """Union per-wave histograms down to one per (key, value) — counts
+    add.  ``merge(hist(A), hist(B)) == hist(A union B)`` exactly."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    key_cols = [c for c in out.columns if c != "c"]
+    return out.groupBy(*key_cols).agg(F.sum("c").alias("c"))
+
+
+def percentiles_from_histogram(
+    hist,
+    key_col: str,
+    value_col: str,
+    pmilles: tuple[int, ...] = (500, 950, 990),
+):
+    """EXACT lower (type-1) discrete percentiles per key from a
+    ``(key, value, c)`` histogram: for each per-mille rank ``p`` the
+    smallest value whose cumulative count reaches ``ceil(p*n/1000)``
+    — i.e. ``min(value | cum*1000 >= p*n)``, all 64-bit integer
+    arithmetic, no float rank interpolation.
+
+    Plan: cumulative + total window over the histogram, then a
+    groupBy(key) whose grouping key equals the window partition key,
+    so both share ONE key Exchange — and that Exchange moves histogram
+    rows, not raw fetches.  This generalizes the corpus-profile exact-
+    median trick (T19) to arbitrary multi-percentile dashboards
+    (p50/p95/p99 fetch-latency SLOs per host) without ever sorting a
+    key's raw rows (maximal skew on hot hosts)."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(key_col)
+    cum = hist.select(
+        key_col,
+        value_col,
+        F.sum("c").over(w_cum).alias("_cum"),
+        F.sum("c").over(w_tot).alias("_tot"),
+    )
+    aggs = [F.max("_tot").cast("long").alias("n")]
+    for p in pmilles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(1000) >= F.lit(int(p)) * F.col("_tot"),
+                    F.col(value_col),
+                )
+            )
+            .cast("long")
+            .alias(f"p{int(p)}")
+        )
+    return cum.groupBy(key_col).agg(*aggs)
+
+
+def exact_percentiles(
+    df,
+    key_col: str,
+    value_col: str,
+    pmilles: tuple[int, ...] = (500, 950, 990),
+):
+    """Per-key exact discrete percentiles of an integer value column:
+    histogram build (one raw-row shuffle, map-side combined) + rank
+    pick over the histogram.  ``value_col`` must be integral — the
+    exactness contract (and the bounded-cardinality scale argument)
+    lives on integers; quantize floats upstream (ms, cents, milli)."""
+    return percentiles_from_histogram(
+        value_histogram(df, key_col, value_col), key_col, value_col, pmilles
+    )

@@ -3615,6 +3615,43 @@ def host_heavy_hitters(spark, sf):
     return SK.heavy_hitters_exact(u, "host", 10)
 
 
+# Exact per-host latency percentiles (operators/sketches.py): the
+# p50/p95/p99 fetch-SLO dashboard computed from a mergeable value
+# histogram — one raw-row shuffle on (host, lat_ms), then the
+# cumulative window and the final groupBy share one histogram-sized
+# Exchange.  Lower (type-1) discrete quantile: smallest value whose
+# cumulative count reaches ceil(p*n/1000), exact 64-bit arithmetic on
+# both sides.  Latency is quantized half-up to integer "ms" from the
+# events value column (the repo-wide float->int idiom).
+@q(
+    "fetch_latency_percentiles",
+    "WITH src AS (SELECT 'h' || (user_id % 20) || '.example' AS host,"
+    "  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS lat_ms FROM events),"
+    " hist AS (SELECT host, lat_ms, count(*) AS c FROM src GROUP BY 1, 2),"
+    " cum AS (SELECT host, lat_ms,"
+    "  SUM(c) OVER (PARTITION BY host ORDER BY lat_ms) AS cum,"
+    "  SUM(c) OVER (PARTITION BY host) AS tot FROM hist)"
+    " SELECT host, CAST(MAX(tot) AS BIGINT) AS n,"
+    "  CAST(MIN(CASE WHEN cum * 1000 >= 500 * tot THEN lat_ms END) AS BIGINT) AS p500,"
+    "  CAST(MIN(CASE WHEN cum * 1000 >= 950 * tot THEN lat_ms END) AS BIGINT) AS p950,"
+    "  CAST(MIN(CASE WHEN cum * 1000 >= 990 * tot THEN lat_ms END) AS BIGINT) AS p990"
+    " FROM cum GROUP BY host",
+)
+def fetch_latency_percentiles(spark, sf):
+    """Per-host p50/p95/p99 fetch latency via the exact histogram
+    percentile operator — never a per-host sort of raw fetch rows."""
+    from .operators import sketches as SK
+
+    e = _t(spark, sf, "events")
+    src = e.select(
+        F.concat(
+            F.lit("h"), F.pmod("user_id", F.lit(20)).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("lat_ms"),
+    )
+    return SK.exact_percentiles(src, "host", "lat_ms", (500, 950, 990))
+
+
 # BPE tokenizer fitting (operators/bpe.py): the driver entry checks
 # the per-iteration workhorse — freq-weighted adjacent-symbol pair
 # counts over the word-TYPE table (Zipf-small working set) — with a

@@ -115,3 +115,74 @@ def test_heavy_hitter_candidates_superset_guarantee(spark):
         for h, c in cnt.items():
             if c * 8 > n:
                 assert h in cands, (parts, h)
+
+
+def _latencies(spark, n=40_000, hosts=7):
+    # deterministic skewed integer latencies: host h0 is hot (half the
+    # rows) and slow-tailed; value spread is irregular so percentile
+    # ranks do not fall on round boundaries
+    base = spark.range(n)
+    return base.select(
+        F.when(F.pmod("id", F.lit(2)) == 0, F.lit("h0"))
+        .otherwise(F.concat(F.lit("h"), F.pmod("id", F.lit(hosts)).cast("string")))
+        .alias("host"),
+        (
+            F.pmod(F.xxhash64("id"), F.lit(400))
+            + F.when(F.pmod("id", F.lit(97)) == 0, F.lit(5000)).otherwise(F.lit(0))
+        ).alias("lat_ms"),
+    )
+
+
+def test_exact_percentiles_vs_numpy_referee(spark):
+    """Lower (type-1) discrete quantile: sorted[ceil(p*n/1000)-1]."""
+    import math
+
+    df = _latencies(spark)
+    rows = df.collect()
+    by_host: dict[str, list[int]] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.lat_ms)
+    got = {r.host: r for r in SK.exact_percentiles(df, "host", "lat_ms").collect()}
+    assert set(got) == set(by_host)
+    for h, vals in by_host.items():
+        vals.sort()
+        n = len(vals)
+        assert got[h].n == n
+        for p in (500, 950, 990):
+            want = vals[math.ceil(p * n / 1000) - 1]
+            assert got[h][f"p{p}"] == want, (h, p, got[h][f"p{p}"], want)
+
+
+def test_histogram_merge_is_exact(spark):
+    """Per-wave histograms union to EXACTLY the whole-corpus histogram
+    (counts add), so rolled-up percentiles equal direct ones — the
+    property HLL only honors within a bound."""
+    df = _latencies(spark, n=10_000).withColumn(
+        "wave", F.pmod(F.xxhash64("lat_ms"), F.lit(3))
+    )
+    parts = [
+        SK.value_histogram(df.where(F.col("wave") == w), "host", "lat_ms")
+        for w in (0, 1, 2)
+    ]
+    merged = SK.merge_histograms(*parts)
+    direct = SK.value_histogram(df, "host", "lat_ms")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    p_m = SK.percentiles_from_histogram(merged, "host", "lat_ms").collect()
+    p_d = SK.exact_percentiles(df, "host", "lat_ms").collect()
+    assert sorted(map(tuple, p_m)) == sorted(map(tuple, p_d))
+
+
+def test_percentiles_window_and_group_share_one_exchange(spark):
+    """The rank pick adds no shuffle beyond the histogram build: the
+    cumulative window and the final groupBy both partition on the key,
+    so the executed plan has exactly two Exchanges total (raw->hist,
+    hist->key) and no sort of raw rows."""
+    df = _latencies(spark, n=5_000)
+    plan = (
+        SK.exact_percentiles(df, "host", "lat_ms")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
