@@ -3652,6 +3652,74 @@ def fetch_latency_percentiles(spark, sf):
     return SK.exact_percentiles(src, "host", "lat_ms", (500, 950, 990))
 
 
+# DUST rule mining (operators/dust.py): per-host substring
+# substitution rules recovered from content-fingerprint duplicate
+# groups (DustBuster, WWW'07).  The synthetic corpus mints each story
+# under its canonical spelling plus one of two generated aliases
+# ("?id=" for "/", trailing "/index.html"); the miner must recover
+# exactly those two rules per host.  The oracle replays the star
+# pairing, both monotone-trick LCPs (plain + reversed) and the
+# overlap clamp character-for-character.
+@q(
+    "crawl_dust_rules",
+    "WITH src AS (SELECT 'h' || ((doc_id // 2) % 7) || '.example' AS host,"
+    "  'f' || (doc_id // 2) AS fp,"
+    "  CASE WHEN doc_id % 2 = 0 THEN 'https://h' || ((doc_id // 2) % 7)"
+    "    || '.example/story/' || (doc_id // 2)"
+    "   WHEN doc_id % 4 = 1 THEN 'https://h' || ((doc_id // 2) % 7)"
+    "    || '.example/story?id=' || (doc_id // 2)"
+    "   ELSE 'https://h' || ((doc_id // 2) % 7) || '.example/story/'"
+    "    || (doc_id // 2) || '/index.html' END AS url FROM documents),"
+    " canon AS (SELECT host, fp, MIN(url) AS canon_url FROM src GROUP BY 1, 2),"
+    " pairs AS (SELECT s.host, canon_url, url AS alias_url FROM src s"
+    "  JOIN canon c USING (host, fp) WHERE url <> canon_url),"
+    " m AS (SELECT host, alias_url, canon_url,"
+    "  len(list_filter(generate_series(1, least(length(alias_url),"
+    "   length(canon_url))), i -> alias_url[1:i] = canon_url[1:i])) AS lp,"
+    "  len(list_filter(generate_series(1, least(length(alias_url),"
+    "   length(canon_url))), i -> reverse(alias_url)[1:i] ="
+    "   reverse(canon_url)[1:i])) AS ls_raw FROM pairs),"
+    " r AS (SELECT host, alias_url,"
+    "  alias_url[lp+1 : length(alias_url) - least(ls_raw,"
+    "   length(alias_url)-lp, length(canon_url)-lp)] AS alpha,"
+    "  canon_url[lp+1 : length(canon_url) - least(ls_raw,"
+    "   length(alias_url)-lp, length(canon_url)-lp)] AS beta FROM m)"
+    " SELECT host, alpha, beta, CAST(COUNT(*) AS BIGINT) AS support,"
+    "  MIN(alias_url) AS example_alias"
+    " FROM r GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2",
+)
+def crawl_dust_rules(spark, sf):
+    """Mine the two planted per-host URL-rewrite rules from exact
+    content-duplicate groups."""
+    from .operators.dust import dust_rules
+
+    d = _t(spark, sf, "documents")
+    k = F.expr("doc_id div 2")
+    host = F.concat(
+        F.lit("h"), F.pmod(k, F.lit(7)).cast("string"), F.lit(".example")
+    )
+    base = F.concat(F.lit("https://"), host, F.lit("/story"))
+    url = (
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat(base, F.lit("/"), k.cast("string")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(base, F.lit("?id="), k.cast("string")),
+        )
+        .otherwise(
+            F.concat(base, F.lit("/"), k.cast("string"), F.lit("/index.html"))
+        )
+    )
+    src = d.select(
+        host.alias("host"),
+        F.concat(F.lit("f"), k.cast("string")).alias("fp"),
+        url.alias("url"),
+    )
+    return dust_rules(src, "url", "host", "fp", min_support=2)
+
+
 # BPE tokenizer fitting (operators/bpe.py): the driver entry checks
 # the per-iteration workhorse — freq-weighted adjacent-symbol pair
 # counts over the word-TYPE table (Zipf-small working set) — with a
