@@ -492,6 +492,45 @@ def u3_bloom_gated_dedupe(spark, sf):
 
 
 @q(
+    "u3_cuckoo_gated_dedupe",
+    # Cuckoo gate with an in-place DELETE between build and probe (the
+    # recrawl/expiry flow a Bloom filter cannot serve without a
+    # rebuild).  Gate only prunes, exact join confirms: output == the
+    # exact anti-join against the UPDATED seen set.
+    "WITH cand AS (SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR) || '.example/p/'"
+    " || CAST(event_id AS VARCHAR) AS url FROM events),"
+    " seen AS (SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR) || '.example/p/'"
+    " || CAST(event_id AS VARCHAR) AS url FROM events WHERE event_id % 3 = 0),"
+    " expired AS (SELECT url FROM seen WHERE url LIKE '%/p/9%'),"
+    " live AS (SELECT url FROM seen WHERE NOT EXISTS"
+    "  (SELECT 1 FROM expired e WHERE e.url = seen.url))"
+    " SELECT url FROM cand WHERE NOT EXISTS"
+    "  (SELECT 1 FROM live WHERE live.url = cand.url)",
+)
+def u3_cuckoo_gated_dedupe(spark, sf):
+    """Deletable URL-seen: cuckoo build on the full seen set, expiry
+    batch deleted in place, gated dedupe vs the updated table."""
+    from .operators.cuckoo import (
+        build_cuckoo_shards,
+        cuckoo_gated_anti_join,
+        delete_from_cuckoo,
+    )
+
+    e = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://h"), F.pmod("user_id", F.lit(50)).cast("string"),
+        F.lit(".example/p/"), F.col("event_id").cast("string"),
+    )
+    cand = e.select(url.alias("url"))
+    seen = e.where(F.pmod("event_id", F.lit(3)) == 0).select(url.alias("url"))
+    expired = seen.where(F.col("url").like("%/p/9%"))
+    live = seen.join(expired, "url", "left_anti")
+    filt = build_cuckoo_shards(seen, "url", n_shards=8, expected_items=4000)
+    filt = delete_from_cuckoo(filt, expired, "url")
+    return cuckoo_gated_anti_join(cand, live, filt, "url")
+
+
+@q(
     "u5_parallel_host_rank",
     # The sampling-free per-host rank (order-aligned hash-prefix salt)
     # must equal the naive single-window row_number.  xxhash64 is not
