@@ -3523,6 +3523,32 @@ def host_distinct_urls_hll(spark, sf):
     return SK.distinct_within_tolerance(urls, ["host"], "url", tol_milli=50)
 
 
+# Count-min point-frequency sketch (operators/sketches.py): the driver
+# row asserts BOTH invariants as booleans the oracle predicts TRUE —
+# the hard one-sided bound (estimate never undercounts, holds by
+# construction) and the e*N/w-style overcount bound (holds with
+# probability ~1 - e^-d).  Exact additivity of partial matrices
+# (cm(A)+cm(B) == cm(A union B), elementwise) is pytest-asserted.
+@q(
+    "host_freq_cm_bound",
+    "SELECT 'h' || (event_id % 25) AS host,"
+    " CAST(count(*) AS BIGINT) AS n_exact,"
+    " TRUE AS ge_exact, TRUE AS within_bound FROM events GROUP BY host",
+)
+def host_freq_cm_bound(spark, sf):
+    """Per-host fetch-frequency estimates from a 512 KB count-min
+    sketch, validated against the exact counts."""
+    from .operators import sketches as SK
+
+    e = _t(spark, sf, "events")
+    hosts = e.select(
+        F.concat(F.lit("h"), F.pmod("event_id", F.lit(25)).cast("string")).alias(
+            "host"
+        )
+    )
+    return SK.freq_within_bound(hosts, "host")
+
+
 # Corpus drift monitoring (operators/drift.py): even-doc_id docs play
 # the "current wave", odd the reference; buckets are 100-char length
 # bands capped at 9.  Integer chi-square-style f-divergence per

@@ -186,3 +186,41 @@ def test_percentiles_window_and_group_share_one_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 2, plan
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def test_cm_partial_matrices_are_exactly_additive(spark):
+    """cm(A) + cm(B) == cm(A union B) elementwise — the mergeability
+    law that lets per-wave sketches roll up under any partitioning."""
+    import numpy as np
+
+    df = _latencies(spark, n=6_000)
+    a = df.where(F.pmod(F.xxhash64("lat_ms"), F.lit(2)) == 0)
+    b = df.where(F.pmod(F.xxhash64("lat_ms"), F.lit(2)) != 0)
+    w, d = 1 << 10, 4
+    whole = SK.cm_build(df, "host", w, d)
+    parts = SK.cm_build(a, "host", w, d) + SK.cm_build(b, "host", w, d)
+    assert np.array_equal(whole, parts)
+    assert whole.sum() == d * 6_000
+
+
+def test_cm_estimate_bounds(spark):
+    """Hard one-sided bound (never undercounts) for every key, and the
+    loose overcount bound holds at d=4."""
+    df = _latencies(spark, n=20_000)
+    rows = SK.freq_within_bound(df, "host", w=1 << 12, d=4).collect()
+    assert rows
+    assert all(r.ge_exact for r in rows)
+    assert all(r.within_bound for r in rows)
+
+
+def test_cm_estimate_exact_on_sparse_keys(spark):
+    """With w >> distinct keys, collisions are absent and the estimate
+    equals the exact count for every key."""
+    df = _latencies(spark, n=5_000)
+    sk = SK.cm_build(df, "host", w=1 << 14, d=4)
+    exact = df.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    got = SK.cm_estimate(exact, sk, "host", w=1 << 14).collect()
+    assert all(r.freq_est == r.n for r in got)
