@@ -913,6 +913,40 @@ def dedup_exact_hash(spark, sf):
     return S.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+# Cross-document exact-substring span dedup (operators/spans.py — the
+# ExactSubstr pass of Lee et al. 2022): every repeated 8-token window
+# loses its non-first occurrences, stride-1 marks merged to spans.
+# The hash stage is prune-only (string-confirmed), so the oracle can
+# replay the whole thing on window STRINGS directly.
+@q(
+    "dedup_exact_substring",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),"
+    " w AS (SELECT doc_id,"
+    " CAST(unnest(generate_series(1, len(tk) - 7)) AS INT) AS pos,"
+    " unnest(list_transform(generate_series(1, len(tk) - 7),"
+    " i -> array_to_string(tk[i:i+7], ' '))) AS win"
+    " FROM toks WHERE len(tk) >= 8),"
+    " d AS (SELECT doc_id, pos,"
+    " row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,"
+    " count(*) OVER (PARTITION BY win) AS c FROM w),"
+    " rem AS (SELECT doc_id, pos FROM d WHERE c > 1 AND rn > 1),"
+    " isl AS (SELECT doc_id, pos,"
+    " CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL"
+    " OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8"
+    " THEN 1 ELSE 0 END AS brk FROM rem),"
+    " g AS (SELECT doc_id, pos,"
+    " sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)"
+    " SELECT doc_id, min(pos) AS span_start,"
+    " CAST(max(pos) + 7 AS INT) AS span_end,"
+    " CAST(max(pos) - min(pos) + 8 AS INT) AS span_tokens"
+    " FROM g GROUP BY doc_id, grp",
+)
+def dedup_exact_substring(spark, sf):
+    from .operators import spans as SP
+
+    return SP.exact_substring_spans(_t(spark, sf, "documents"), "doc_id", "text", w=8)
+
+
 # Shared shingle CTE chain (toks -> distinct shingles -> per-doc counts
 # -> pair intersections) feeding the Jaccard AND containment oracles.
 _SHINGLE_BASE = (

@@ -1,0 +1,108 @@
+"""Exact-substring span dedup: planted-passage recovery, keep-first,
+python referee parity, strip round-trip."""
+
+from pyspark.sql import functions as F
+
+from crawler_apple_podcast_spark.operators import spans as SP
+
+
+def _referee(docs, w):
+    """Single-node ExactSubstr: same semantics, dict-of-lists code."""
+    wins = {}
+    for doc_id, text in docs:
+        tk = text.split(" ")
+        for p in range(1, len(tk) - w + 2):
+            wins.setdefault(" ".join(tk[p - 1 : p - 1 + w]), []).append((doc_id, p))
+    marks = {}
+    for occ in wins.values():
+        if len(occ) > 1:
+            for doc_id, p in sorted(occ)[1:]:
+                marks.setdefault(doc_id, set()).add(p)
+    out = []
+    for doc_id, ps in marks.items():
+        run = []
+        for p in sorted(ps):
+            if run and p <= run[-1] + w:
+                run.append(p)
+            else:
+                if run:
+                    out.append((doc_id, run[0], run[-1] + w - 1))
+                run = [p]
+        if run:
+            out.append((doc_id, run[0], run[-1] + w - 1))
+    return sorted(out)
+
+
+PASSAGE = "the quick brown fox jumps over the lazy dog again and again"
+DOCS = [
+    (1, f"alpha beta {PASSAGE} gamma delta"),
+    (2, f"unrelated words here {PASSAGE} trailing tail tokens"),
+    (3, "completely different text with no repeats whatsoever in it"),
+    (4, f"{PASSAGE} {PASSAGE}"),  # self-repeat within one doc
+]
+
+
+def test_spans_match_referee(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    for w in (4, 8):
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in SP.exact_substring_spans(df, "doc_id", "text", w).collect()
+        )
+        assert got == _referee(DOCS, w), w
+
+
+def test_keep_first_occurrence_survives(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    spans = SP.exact_substring_spans(df, "doc_id", "text", w=8)
+    by_doc = {r.doc_id: r for r in spans.collect()}
+    # doc 1 is the globally-first occurrence: nothing removed from it
+    assert 1 not in by_doc
+    # doc 2's copy of the passage is covered by one merged span
+    tk2 = DOCS[1][1].split(" ")
+    start = tk2.index("the") + 1
+    assert by_doc[2].span_start == start
+    assert by_doc[2].span_end == start + len(PASSAGE.split(" ")) - 1
+
+
+def test_strip_spans_removes_exactly_covered_tokens(spark):
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    w = 8
+    spans = SP.exact_substring_spans(df, "doc_id", "text", w)
+    cleaned = {
+        r.doc_id: r.text_dedup
+        for r in SP.strip_spans(df, spans, "doc_id", "text").collect()
+    }
+    ref = {doc_id: set() for doc_id, _ in DOCS}
+    for doc_id, s, e in _referee(DOCS, w):
+        ref[doc_id].update(range(s, e + 1))
+    for doc_id, text in DOCS:
+        tk = text.split(" ")
+        want = " ".join(t for i, t in enumerate(tk, 1) if i not in ref[doc_id])
+        assert cleaned[doc_id] == want, doc_id
+    # untouched docs pass through verbatim (no split/rejoin drift)
+    assert cleaned[3] == DOCS[2][1]
+
+
+def test_no_false_spans_on_unique_corpus(spark):
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{i}_"), F.col("id").cast("string")) for i in range(12)],
+        ).alias("text"),
+    )
+    assert SP.exact_substring_spans(df, "doc_id", "text", w=4).count() == 0
+
+
+def test_window_scan_is_shuffle_free(spark):
+    """Stage 1 (the only full-corpus pass) must be a narrow map —
+    no Exchange before the dup-hash aggregate's own shuffle."""
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING").coalesce(64)
+    plan = (
+        SP.token_windows(df, "doc_id", "text", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
