@@ -913,6 +913,58 @@ def dedup_exact_hash(spark, sf):
     return S.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+# Mirror-host detection (operators/mirrors.py): base hosts h0-h4 get
+# the corpus by doc_id%5; h5-h9 mirror the even half of their base
+# host; one boilerplate page sits on all 10 hosts and must be killed
+# by the ubiquity cap (4), not counted as mirror evidence.  md5
+# fingerprints on both engines -> full value oracle.
+@q(
+    "crawl_mirror_hosts",
+    "WITH pages AS ("
+    " SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host, text FROM documents"
+    " UNION ALL"
+    " SELECT 'h' || CAST(doc_id % 5 + 5 AS VARCHAR) AS host, text FROM documents"
+    " WHERE doc_id % 2 = 0"
+    " UNION ALL"
+    " SELECT 'h' || CAST(i AS VARCHAR) AS host, 'shared boilerplate template page' AS text"
+    " FROM range(10) t(i)),"
+    " hf AS (SELECT DISTINCT host, md5(text) AS fp FROM pages),"
+    " rare AS (SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 4),"
+    " hf2 AS (SELECT hf.host, hf.fp FROM hf JOIN rare USING (fp)),"
+    " sizes AS (SELECT host, count(*) AS n_fp FROM hf2 GROUP BY host),"
+    " sh AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared"
+    " FROM hf2 a JOIN hf2 b ON a.fp = b.fp AND a.host < b.host GROUP BY 1, 2)"
+    " SELECT host_a, host_b, shared,"
+    " (shared * 1000) // least(sa.n_fp, sb.n_fp) AS containment_milli"
+    " FROM sh JOIN sizes sa ON sh.host_a = sa.host"
+    " JOIN sizes sb ON sh.host_b = sb.host"
+    " WHERE least(sa.n_fp, sb.n_fp) >= 5"
+    " AND (shared * 1000) // least(sa.n_fp, sb.n_fp) >= 500",
+)
+def crawl_mirror_hosts(spark, sf):
+    from .operators import mirrors as MIR
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(5)).cast("string")).alias("host"),
+        "text",
+    )
+    mirror = d.where(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.concat(F.lit("h"), (F.pmod("doc_id", F.lit(5)) + 5).cast("string")).alias(
+            "host"
+        ),
+        "text",
+    )
+    boiler = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.lit("shared boilerplate template page").alias("text"),
+    )
+    pages = base.unionByName(mirror).unionByName(boiler)
+    return MIR.mirror_host_pairs(
+        pages, threshold_milli=500, min_docs=5, max_hosts_per_fp=4
+    )
+
+
 # Cross-document exact-substring span dedup (operators/spans.py — the
 # ExactSubstr pass of Lee et al. 2022): every repeated 8-token window
 # loses its non-first occurrences, stride-1 marks merged to spans.
