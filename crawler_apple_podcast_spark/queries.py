@@ -1836,6 +1836,78 @@ def corpus_prep_pipeline(spark, sf):
     return corpus_prep_frame(_t(spark, sf, "documents"))
 
 
+# Corpus prep chained into exact-substring span cleaning (T81): the
+# gated+deduped survivors lose every non-first repeated 4-token window
+# (4, not the prod-scale 50: the synthetic corpus has ~50-token docs
+# over a tiny vocabulary, and w=4 makes the span machinery actually
+# fire on the survivor set — 163 docs lose 970 tokens at sf0.01),
+# and the CLEANED TEXT ITSELF is value-checked — spans are computed on
+# the survivor set (post-dedup), matching a real pipeline's stage
+# order (drop whole near-dup docs first, then cut residual verbatim
+# passages out of the keepers).  Positions index the raw single-space
+# split on both engines.
+_CORPUS_PREP_SPANCLEAN_ORACLE = (
+    "WITH "
+    + _CORPUS_PREP_BASE
+    + ", final AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)),"
+    " rtk AS (SELECT doc_id, text, string_split(text, ' ') AS rk FROM final),"
+    " w AS (SELECT doc_id,"
+    " CAST(unnest(generate_series(1, len(rk) - {wm1})) AS INT) AS pos,"
+    " unnest(list_transform(generate_series(1, len(rk) - {wm1}),"
+    " i -> array_to_string(rk[i:i+{wm1}], ' '))) AS win"
+    " FROM rtk WHERE len(rk) >= {w}),"
+    " dd AS (SELECT doc_id, pos,"
+    " row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,"
+    " count(*) OVER (PARTITION BY win) AS cc FROM w),"
+    " rem AS (SELECT doc_id, pos FROM dd WHERE cc > 1 AND rn > 1),"
+    " isl AS (SELECT doc_id, pos,"
+    " CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL"
+    " OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {w}"
+    " THEN 1 ELSE 0 END AS brk FROM rem),"
+    " g AS (SELECT doc_id, pos,"
+    " sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),"
+    " sp AS (SELECT doc_id, min(pos) AS s, CAST(max(pos) + {wm1} AS INT) AS e"
+    " FROM g GROUP BY doc_id, grp),"
+    " spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps"
+    " FROM sp GROUP BY doc_id),"
+    " cl AS (SELECT r.doc_id,"
+    " CASE WHEN spl.sps IS NULL THEN r.text ELSE"
+    " array_to_string(list_filter(list_transform(range(1, len(rk) + 1),"
+    " i -> CASE WHEN len(list_filter(spl.sps,"
+    " s -> i >= s.s AND i <= s.e)) > 0 THEN NULL ELSE rk[CAST(i AS INT)] END),"
+    " x -> x IS NOT NULL), ' ') END AS text_dedup,"
+    " CAST(len(rk) AS BIGINT) AS n_raw"
+    " FROM rtk r LEFT JOIN spl ON r.doc_id = spl.doc_id)"
+    " SELECT doc_id, text_dedup,"
+    " CAST(len(string_split(text_dedup, ' ')) AS BIGINT) AS n_tokens_clean,"
+    " n_raw - CAST(len(string_split(text_dedup, ' ')) AS BIGINT) AS tokens_removed"
+    " FROM cl"
+).format(stop=_STOP_SQL, qthr=600, jthr=500, w=4, wm1=3)
+
+
+@q("corpus_prep_spanclean", _CORPUS_PREP_SPANCLEAN_ORACLE)
+def corpus_prep_spanclean(spark, sf):
+    """Corpus prep chained into exact-substring span cleaning: residual
+    verbatim passages are cut out of the surviving docs."""
+    from .operators import spans as SP
+
+    d = _t(spark, sf, "documents")
+    prepped = corpus_prep_frame(d)
+    survivors = d.join(prepped.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    spans = SP.exact_substring_spans(survivors, "doc_id", "text", w=4)
+    cleaned = SP.strip_spans(survivors, spans, "doc_id", "text")
+    raw_n = F.size(F.split("text", " ")).cast("long")
+    clean_n = F.size(F.split("text_dedup", " ")).cast("long")
+    return cleaned.select(
+        "doc_id",
+        "text_dedup",
+        clean_n.alias("n_tokens_clean"),
+        (raw_n - clean_n).alias("tokens_removed"),
+    )
+
+
 @q("corpus_prep_cc", _CORPUS_PREP_CC_ORACLE)
 def corpus_prep_cc(spark, sf):
     """Corpus prep with the component-canonical drop rule: exactly one
