@@ -97,6 +97,11 @@ HEADLINE = [
     "crawl_redirect_resolve",
     "crawl_revalidation_plan",
     "text_mojibake_score",
+    # session-7 additions: exact-substring span dedup (window-hash
+    # shuffle + string-confirmed keep-first) and mirror-host detection
+    # (fingerprint containment with the ubiquity cap)
+    "dedup_exact_substring",
+    "crawl_mirror_hosts",
 ]
 
 
