@@ -1026,6 +1026,40 @@ def dedup_ngram_jaccard(spark, sf):
     return S.jaccard_pairs(sh, 500)
 
 
+# Leakage-safe train/holdout split (operators/splits.py): near-dup
+# components (exact Jaccard >= 500 pairs -> min-label CC) choose a
+# side TOGETHER via the md5 bucket of the component representative —
+# a dup cluster can never straddle the cut.  Oracle: the shared
+# shingle CTE + recursive reachability + the same md5-hex bucket.
+@q(
+    "corpus_split_leakage_safe",
+    "WITH RECURSIVE "
+    + _SHINGLE_BASE.removeprefix("WITH ")
+    + ", pairs AS (SELECT doc_a, doc_b FROM inter"
+    " JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b"
+    " WHERE (i_cnt * 1000) // (ca.n_sh + cb.n_sh - i_cnt) >= 500),"
+    " edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+    " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),"
+    " reach AS (SELECT src AS doc, src AS root FROM edges"
+    " UNION SELECT e.dst AS doc, r.root FROM reach r JOIN edges e ON e.src = r.doc),"
+    " comp AS (SELECT doc, min(root) AS component FROM reach GROUP BY doc),"
+    " lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component"
+    " FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc)"
+    " SELECT doc_id, component,"
+    " CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 6) AS BIGINT)"
+    " % 1000 < 100 THEN 'holdout' ELSE 'train' END AS split"
+    " FROM lab",
+)
+def corpus_split_leakage_safe(spark, sf):
+    from .operators import splits as SPL
+
+    d = _t(spark, sf, "documents")
+    pairs = S.jaccard_pairs(S.shingle_rows(d, "doc_id", "text", 3), 500)
+    return SPL.leakage_safe_split(d, pairs, "doc_id", holdout_milli=100).select(
+        "doc_id", "component", "split"
+    )
+
+
 @q("dedup_minhash_lsh", _SHINGLE_CTE.format(thr=500))
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH prune, exact confirm — oracle is the exact all-pairs
