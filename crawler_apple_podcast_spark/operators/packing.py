@@ -139,6 +139,52 @@ def pack_training_chunks(
     )
 
 
+def budget_select(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    quality_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Greedy quality-ordered corpus selection under a GLOBAL token
+    budget: keep the maximal prefix of docs, ordered by
+    ``(quality desc, id asc)``, whose inclusive token cumsum stays
+    <= ``budget`` — "assemble exactly N tokens of the best data", the
+    decision that actually sizes a pre-training run.
+
+    The global order is folded into ONE numeric key
+    ``(1000 - quality) * K + id`` (quality is integer per-mille; K >
+    max id makes the fold order-exact), so the existing two-phase
+    range-bucket prefix sum does the cumsum without a single-partition
+    sort; the keep test ``start + tokens <= budget`` is per-row math.
+    Because the cumsum is monotone, that predicate IS a prefix — the
+    first doc that would cross the budget line and everything after it
+    drop together.  Adds ``cum_tokens`` (the doc's inclusive cumsum)
+    for audit.  One extra O(1)-row driver job fetches max(id) for K.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    d = docs.where(F.col(token_col) > 0)
+    hi = d.agg(F.max(F.col(id_col).cast("long"))).first()[0]
+    if hi is None:
+        return d.withColumn("cum_tokens", F.lit(0).cast("long"))
+    k = int(hi) + 1
+    keyed = d.withColumn(
+        "_okey",
+        (F.lit(1000) - F.col(quality_col).cast("long")) * F.lit(k)
+        + F.col(id_col).cast("long"),
+    )
+    s = global_token_starts(keyed, token_col, "_okey", n_buckets)
+    return (
+        s.withColumn(
+            "cum_tokens", F.col("_start") + F.col(token_col).cast("long")
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .drop("_okey", "_start")
+    )
+
+
 def chunk_fill_stats(chunks: DataFrame) -> DataFrame:
     """Per-chunk fill audit over ``pack_training_chunks`` output:
     ``(chunk_id, n_segments, fill)``."""

@@ -1864,6 +1864,53 @@ def corpus_prep_frame(
     return out.select("doc_id", "quality_milli", "n_tokens", "n_bpe")
 
 
+# Token-budget corpus selection (operators/packing.budget_select):
+# "assemble exactly N tokens of the best data" — the greedy
+# quality-ordered prefix under a global token budget, cumsum'd by the
+# two-phase range-bucket prefix scan (never a single-partition sort).
+# The oracle reuses the corpus-prep q0 scoring CTE and replays the
+# cumsum as a plain SQL window.
+_CORPUS_BUDGET_ORACLE = (
+    "WITH "
+    + _CORPUS_PREP_BASE
+    + ", s AS (SELECT doc_id, quality_milli, CAST(len(tk) AS BIGINT) AS n_tokens"
+    " FROM q0 WHERE len(tk) > 0),"
+    " c2 AS (SELECT doc_id, quality_milli, n_tokens,"
+    " CAST(sum(n_tokens) OVER (ORDER BY quality_milli DESC, doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM s)"
+    " SELECT doc_id, quality_milli, n_tokens, cum_tokens FROM c2"
+    " WHERE cum_tokens <= 12000"
+).format(stop=_STOP_SQL, qthr=600, jthr=500)
+
+
+@q("corpus_budget_select", _CORPUS_BUDGET_ORACLE)
+def corpus_budget_select(spark, sf):
+    """Greedy quality-prefix selection at a 12k-token global budget."""
+    from .operators import packing as PK
+
+    d = _t(spark, sf, "documents")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    t1 = d.select("doc_id", "text", T.tokens(F.col("text")).alias("_tk"))
+    n_tokens = F.size("_tk").cast("long")
+    n_stop = F.size(F.filter("_tk", lambda x: F.array_contains(stops, x))).cast(
+        "long"
+    )
+    stop_m = idiv(n_stop * F.lit(1000), n_tokens)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("long")
+    alpha_m = idiv(alpha * F.lit(1000), F.length("text").cast("long"))
+    len_m = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(1000))
+        .otherwise(F.lit(200))
+        .cast("long")
+    )
+    scored = t1.select(
+        "doc_id",
+        idiv(stop_m + alpha_m + len_m, F.lit(3)).alias("quality_milli"),
+        n_tokens.alias("n_tokens"),
+    )
+    return PK.budget_select(scored, "n_tokens", 12000, "quality_milli")
+
+
 @q("corpus_prep_pipeline", _CORPUS_PREP_ORACLE)
 def corpus_prep_pipeline(spark, sf):
     """The composite corpus-prep chain (see ``corpus_prep_frame``)."""

@@ -183,3 +183,59 @@ def test_chunk_documents_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in p
+
+
+# ------------------------------------------------- budget_select
+
+
+def _scored(spark, n=300):
+    # deterministic skewed quality/token table: quality collides a lot
+    # (mod 7) so the (quality desc, id asc) tiebreak actually matters
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(7)) * 100).cast("long").alias("quality_milli"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(40)) + 1).cast("long").alias("n_tokens"),
+    )
+
+
+def _budget_referee(rows, budget):
+    order = sorted(rows, key=lambda r: (-r.quality_milli, r.doc_id))
+    out, cum = [], 0
+    for r in order:
+        if cum + r.n_tokens > budget:
+            break
+        cum += r.n_tokens
+        out.append((r.doc_id, cum))
+    return out
+
+
+def test_budget_select_matches_greedy_referee(spark):
+    from crawler_apple_podcast_spark.operators.packing import budget_select
+
+    df = _scored(spark)
+    rows = df.collect()
+    for budget in (1, 137, 2000, 10**9):
+        got = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in budget_select(df, "n_tokens", budget, "quality_milli").collect()
+        )
+        assert got == sorted(_budget_referee(rows, budget)), budget
+
+
+def test_budget_select_is_exact_prefix(spark):
+    """Everything kept outranks everything dropped under the global
+    (quality desc, id asc) order, and the budget is never exceeded."""
+    from crawler_apple_podcast_spark.operators.packing import budget_select
+
+    df = _scored(spark)
+    budget = 1500
+    kept = budget_select(df, "n_tokens", budget, "quality_milli").collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert sum(r.n_tokens for r in kept) <= budget
+    order = sorted(df.collect(), key=lambda r: (-r.quality_milli, r.doc_id))
+    seen_drop = False
+    for r in order:
+        if r.doc_id in kept_ids:
+            assert not seen_drop  # a kept doc after a dropped one = not a prefix
+        else:
+            seen_drop = True
