@@ -106,3 +106,16 @@ def test_window_scan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_production_window_size_w50(spark):
+    """The prod-scale W=50 hash chain (50-arg xxhash64 codegen) works
+    and recovers a long shared passage exactly."""
+    base = " ".join(f"t{i}" for i in range(400))
+    shared = " ".join(f"s{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, base + " " + shared), (2, shared + " xyz " + base.replace("t", "u"))],
+        "doc_id LONG, text STRING",
+    )
+    rows = SP.exact_substring_spans(df, "doc_id", "text", w=50).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [(2, 1, 120)]
