@@ -57,15 +57,21 @@ def mirror_host_pairs(
     """``(host_a, host_b, shared, containment_milli)`` for host pairs
     whose fingerprint containment (vs the smaller side) clears the
     threshold; hosts below ``min_docs`` fingerprints never pair."""
+    from pyspark.sql import Window
+
     hf = host_fingerprints(pages, host_col, text_col)
-    # ubiquity cap: boilerplate fingerprints say nothing about mirrors
-    rare = (
-        hf.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nh"))  # hf is distinct -> count == distinct hosts
+    # ubiquity cap: boilerplate fingerprints say nothing about mirrors.
+    # One window over fp (hf is distinct, so count == distinct hosts)
+    # instead of a groupBy+self-join — one Exchange, no join.  The
+    # capped table is read three times below (both pair sides + sizes);
+    # checkpoint it so the union+distinct upstream runs once and the
+    # self-join reuses one exchange.
+    hf2 = (
+        hf.withColumn("_nh", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .where(F.col("_nh") <= max_hosts_per_fp)
-        .select("fp")
+        .drop("_nh")
+        .localCheckpoint()
     )
-    hf2 = hf.join(rare, "fp")
     # sizes over the CAPPED table: ubiquitous fingerprints assert
     # nothing about mirroring, so they inflate neither numerator nor
     # denominator — a host that is pure boilerplate has size 0 and
