@@ -111,3 +111,43 @@ def test_rebuild_is_deterministic(spark, built):
     got = sorted(map(tuple, split2.select("doc_id", "split").collect()))
     want = sorted(map(tuple, split.select("doc_id", "split").collect()))
     assert got == want
+
+
+def test_component_split_blocks_cross_source_leaks(spark, built):
+    """The component-level split (operators/splits.py) closes the gap
+    source-keyed splitting leaves open: near-dup pairs that span
+    SOURCES still land on one side, and the budget-select stage
+    downstream respects its global token budget on the train side."""
+    from crawler_apple_podcast_spark.operators.packing import budget_select
+    from crawler_apple_podcast_spark.operators.splits import leakage_safe_split
+
+    _, prepped, _, _, _, _ = built
+    pairs = S.minhash_dedup_pairs(
+        prepped.select("doc_id", "text"), "doc_id", "text", 3, 500
+    )
+    csplit = leakage_safe_split(
+        prepped.select("doc_id", "quality_milli", "n_tokens"), pairs, "doc_id",
+        holdout_milli=200,
+    )
+    sa = csplit.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    sb = csplit.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    leaked = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .where(F.col("sp_a") != F.col("sp_b"))
+    )
+    assert leaked.count() == 0  # across sources too, not just within
+
+    train = csplit.where(F.col("split") == "train")
+    budget = 3000
+    sel = budget_select(train, "n_tokens", budget, "quality_milli")
+    got = sel.agg(F.sum("n_tokens")).first()[0]
+    assert got is not None and got <= budget
+    # maximality: the best-ranked dropped doc would not have fit
+    kept = {r.doc_id for r in sel.select("doc_id").collect()}
+    order = sorted(
+        train.collect(), key=lambda r: (-r.quality_milli, r.doc_id)
+    )
+    for r in order:
+        if r.doc_id not in kept:
+            assert got + r.n_tokens > budget
+            break
