@@ -120,7 +120,53 @@ def exact_substring_spans(
     span_tokens)`` — 1-based inclusive token ranges covered by
     non-first duplicated windows, overlapping/contiguous ranges
     collapsed (gaps-and-islands per doc)."""
-    marks = duplicate_window_marks(df, id_col, text_col, w)
+    return _merge_marks_to_spans(
+        duplicate_window_marks(df, id_col, text_col, w), w
+    )
+
+
+def window_hash_index(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    """Distinct ``(whash)`` of every W-token window in the corpus — the
+    persistable exact-substring index (8 bytes/row, the analog of
+    ``similarity.lsh_band_buckets``): written once per crawl wave,
+    probed by later batches without rescanning old documents."""
+    return token_windows(df, id_col, text_col, w).select("whash").distinct()
+
+
+def duplicate_window_marks_incremental(
+    new: DataFrame, index: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """``(doc_id, pos)`` marks for a NEW batch against an already-
+    indexed corpus: a window present in ``index`` is a duplicate in
+    every new occurrence (the old corpus holds the keep-first copy);
+    windows new to this batch dedup among themselves with the same
+    keep-first rule.  Steady-state crawl shape: the window scan runs
+    over the NEW batch only, the probe is one 8-byte-key join against
+    the index — old documents are never read.
+
+    Hash-only confirm against the index (the old side's strings are
+    deliberately not consulted — that is the index's entire point), so
+    unlike the batch operator a 64-bit collision could mark a clean
+    window: P ~ n_windows^2 / 2^64, the same accepted bound as the
+    Bloom hash-pair confirm (operators/bloom.py).  Within-batch
+    duplicates still string-confirm via ``duplicate_window_marks``.
+    New ids must be disjoint from indexed ids."""
+    wins = token_windows(new, id_col, text_col, w)
+    vs_index = wins.join(index, "whash", "left_semi").select("doc_id", "pos")
+    within = duplicate_window_marks(new, id_col, text_col, w)
+    return vs_index.unionByName(within).distinct()
+
+
+def exact_substring_spans_incremental(
+    new: DataFrame, index: DataFrame, id_col: str, text_col: str, w: int = 50
+) -> DataFrame:
+    """Merged removal spans for a new batch vs ``window_hash_index``
+    output; same output contract as ``exact_substring_spans``."""
+    marks = duplicate_window_marks_incremental(new, index, id_col, text_col, w)
+    return _merge_marks_to_spans(marks, w)
+
+
+def _merge_marks_to_spans(marks: DataFrame, w: int) -> DataFrame:
     byd = Window.partitionBy("doc_id").orderBy("pos")
     grouped = (
         marks.withColumn("_prev", F.lag("pos").over(byd))

@@ -999,6 +999,53 @@ def dedup_exact_substring(spark, sf):
     return SP.exact_substring_spans(_t(spark, sf, "documents"), "doc_id", "text", w=8)
 
 
+# Incremental ExactSubstr (steady-state crawl shape): docs < 250 are
+# the already-indexed corpus (window_hash_index: distinct whash only),
+# docs >= 250 are the new batch.  A new window present in the index is
+# marked at EVERY new occurrence (the indexed corpus holds keep-first);
+# index-novel windows keep-first within the batch.  The oracle replays
+# both legs on window STRINGS — the hash probe is semantically
+# transparent (collision P ~ n^2/2^64, the accepted bloom-confirm
+# bound).
+@q(
+    "dedup_exact_substring_incr",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),"
+    " w AS (SELECT doc_id,"
+    " CAST(unnest(generate_series(1, len(tk) - 7)) AS INT) AS pos,"
+    " unnest(list_transform(generate_series(1, len(tk) - 7),"
+    " i -> array_to_string(tk[i:i+7], ' '))) AS win"
+    " FROM toks WHERE len(tk) >= 8),"
+    " vs AS (SELECT doc_id, pos FROM w WHERE doc_id >= 250"
+    " AND win IN (SELECT win FROM w WHERE doc_id < 250)),"
+    " nw AS (SELECT doc_id, pos,"
+    " row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,"
+    " count(*) OVER (PARTITION BY win) AS c FROM w WHERE doc_id >= 250),"
+    " rem AS (SELECT DISTINCT doc_id, pos FROM"
+    " (SELECT doc_id, pos FROM vs UNION ALL"
+    " SELECT doc_id, pos FROM nw WHERE c > 1 AND rn > 1)),"
+    " isl AS (SELECT doc_id, pos,"
+    " CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL"
+    " OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8"
+    " THEN 1 ELSE 0 END AS brk FROM rem),"
+    " g AS (SELECT doc_id, pos,"
+    " sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl)"
+    " SELECT doc_id, min(pos) AS span_start,"
+    " CAST(max(pos) + 7 AS INT) AS span_end,"
+    " CAST(max(pos) - min(pos) + 8 AS INT) AS span_tokens"
+    " FROM g GROUP BY doc_id, grp",
+)
+def dedup_exact_substring_incr(spark, sf):
+    from .operators import spans as SP
+
+    docs = _t(spark, sf, "documents")
+    idx = SP.window_hash_index(
+        docs.where(F.col("doc_id") < 250), "doc_id", "text", w=8
+    )
+    return SP.exact_substring_spans_incremental(
+        docs.where(F.col("doc_id") >= 250), idx, "doc_id", "text", w=8
+    )
+
+
 # Shared shingle CTE chain (toks -> distinct shingles -> per-doc counts
 # -> pair intersections) feeding the Jaccard AND containment oracles.
 _SHINGLE_BASE = (

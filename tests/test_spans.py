@@ -108,6 +108,82 @@ def test_window_scan_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_incremental_equals_batch_when_old_ids_first(spark):
+    """With every indexed doc_id below every new doc_id, the batch
+    keep-first order prefers the old corpus — so incremental spans must
+    equal the batch spans restricted to the new docs (the contract that
+    lets a crawl switch to the index without changing output)."""
+    df = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    old = df.where(F.col("doc_id") <= 2)
+    new = df.where(F.col("doc_id") >= 3)
+    for w in (4, 8):
+        idx = SP.window_hash_index(old, "doc_id", "text", w)
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in SP.exact_substring_spans_incremental(
+                new, idx, "doc_id", "text", w
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in SP.exact_substring_spans(df, "doc_id", "text", w).collect()
+            if r.doc_id >= 3
+        )
+        assert got == want, w
+
+
+def test_incremental_marks_every_new_occurrence_of_indexed_window(spark):
+    """A window already in the index loses ALL its new occurrences
+    (the keep-first copy lives in the indexed corpus)."""
+    old = spark.createDataFrame([(1, PASSAGE)], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(
+        [(10, f"pre filler {PASSAGE} post filler")], "doc_id LONG, text STRING"
+    )
+    idx = SP.window_hash_index(old, "doc_id", "text", 8)
+    rows = SP.exact_substring_spans_incremental(
+        new, idx, "doc_id", "text", 8
+    ).collect()
+    n = len(PASSAGE.split(" "))
+    assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [(10, 3, 2 + n)]
+
+
+def test_incremental_within_batch_keep_first_for_novel_windows(spark):
+    """A window NOT in the index dedups within the batch: first new
+    occurrence survives, later ones are marked."""
+    old = spark.createDataFrame(
+        [(1, "totally unrelated indexed corpus text here okay fine")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(10, f"{PASSAGE} end"), (11, f"start {PASSAGE}")],
+        "doc_id LONG, text STRING",
+    )
+    idx = SP.window_hash_index(old, "doc_id", "text", 8)
+    rows = SP.exact_substring_spans_incremental(
+        new, idx, "doc_id", "text", 8
+    ).collect()
+    n = len(PASSAGE.split(" "))
+    assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [(11, 2, 1 + n)]
+
+
+def test_incremental_probe_is_semi_join_on_whash(spark):
+    """Steady-state cost contract: the index probe must be a LEFT SEMI
+    join keyed on the 8-byte whash — no string traffic against the old
+    corpus, whose text never re-enters the plan (the index carries
+    hashes only, so it CAN'T)."""
+    old = spark.createDataFrame(DOCS[:2], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(DOCS[2:], "doc_id LONG, text STRING")
+    idx = SP.window_hash_index(old, "doc_id", "text", 8)
+    plan = (
+        SP.duplicate_window_marks_incremental(new, idx, "doc_id", "text", 8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert idx.columns == ["whash"]  # 8 bytes/row, nothing else persists
+
+
 def test_production_window_size_w50(spark):
     """The prod-scale W=50 hash chain (50-arg xxhash64 codegen) works
     and recovers a long shared passage exactly."""
