@@ -281,6 +281,54 @@ def bench_dedup_scale(spark, n_docs: int, group: int = 10_000) -> dict:
     }
 
 
+def bench_exsub_incremental(spark, n_docs: int) -> dict:
+    """Steady-state ExactSubstr: batch spans over the FULL corpus vs
+    the incremental probe (new half against the committed window-hash
+    index of the old half).  The index is written to and re-read from
+    parquet — the real per-wave commit shape — and its build is NOT
+    timed: steady state means the index already exists.  The
+    incremental leg scans only the new batch, so it should approach 2x
+    on a half/half split; the gap narrows as the within-batch confirm
+    (shared with batch) dominates.  Outputs are compared by exact row
+    set (pytest also proves the equality contract)."""
+    import shutil
+    import tempfile
+
+    from crawler_apple_podcast_spark.operators import spans as SP
+
+    spark.catalog.clearCache()
+    docs = synth_docs(spark, n_docs, group=1000)
+    old = docs.where(F.col("doc_id") < n_docs // 2)
+    new = docs.where(F.col("doc_id") >= n_docs // 2)
+    tmp = tempfile.mkdtemp(prefix="exsub_idx_")
+    try:
+        SP.window_hash_index(old, "doc_id", "text", 8).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        idx = spark.read.parquet(tmp)
+
+        t0 = time.time()
+        batch = SP.exact_substring_spans(docs, "doc_id", "text", 8)
+        n_batch_new = batch.where(F.col("doc_id") >= n_docs // 2).count()
+        batch_s = time.time() - t0
+        spark.catalog.clearCache()
+
+        t0 = time.time()
+        incr = SP.exact_substring_spans_incremental(new, idx, "doc_id", "text", 8)
+        n_incr = incr.count()
+        incr_s = time.time() - t0
+        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "exsub_docs": n_docs,
+        "exsub_batch_sec": round(batch_s, 3),
+        "exsub_incr_sec": round(incr_s, 3),
+        "exsub_incr_speedup": round(batch_s / incr_s, 2),
+        "exsub_spans_match": n_incr == n_batch_new,
+    }
+
+
 def synth_embeddings(spark, n: int, clusters: int = 200, dim: int = 64):
     """Clustered embeddings generated executor-side (no driver
     materialization): vector = smooth per-cluster center (sin lattice,
@@ -495,6 +543,10 @@ def main() -> None:
     n_knn = int(os.environ.get("BENCH_KNN_VECS", "100000"))
     kn = bench_knn_scale(spark, n_knn) if n_knn and not only_frontier else {}
 
+    # Separate leg: steady-state incremental ExactSubstr vs full batch.
+    n_exsub = int(os.environ.get("BENCH_EXSUB_DOCS", "200000"))
+    ex = bench_exsub_incremental(spark, n_exsub) if n_exsub and not only_frontier else {}
+
     out = {
         "metric": "frontier URLs scheduled+deduped per second (north rule) "
         "+ headline query suite wall time",
@@ -506,6 +558,7 @@ def main() -> None:
         **fr,
         **dd,
         **kn,
+        **ex,
         "cpus": int(cpus),
     }
     print(json.dumps(out))
