@@ -283,14 +283,18 @@ def bench_dedup_scale(spark, n_docs: int, group: int = 10_000) -> dict:
 
 def bench_exsub_incremental(spark, n_docs: int) -> dict:
     """Steady-state ExactSubstr: batch spans over the FULL corpus vs
-    the incremental probe (new half against the committed window-hash
-    index of the old half).  The index is written to and re-read from
-    parquet — the real per-wave commit shape — and its build is NOT
-    timed: steady state means the index already exists.  The
-    incremental leg scans only the new batch, so it should approach 2x
-    on a half/half split; the gap narrows as the within-batch confirm
-    (shared with batch) dominates.  Outputs are compared by exact row
-    set (pytest also proves the equality contract)."""
+    the incremental probe of the newest 10% against the committed
+    window-hash index of the other 90% — the real crawl-wave shape
+    (each wave is a small fraction of the accumulated corpus).  The
+    index is written to and re-read from parquet — the per-wave commit
+    shape — and its build is NOT timed: steady state means it already
+    exists.  Batch re-tokenizes and re-hashes the WHOLE corpus text;
+    incremental scans only the wave and pays one 8-byte-key semi join
+    against the index, so the measured gap (2.0x at 800k docs) is
+    bounded below corpus/wave by the index-side shuffle — which
+    bucketed index storage removes on a real cluster (only the wave
+    side would shuffle).  Spans compared by count here; the exact
+    set-equality contract is pytest-proven (test_spans.py)."""
     import shutil
     import tempfile
 
@@ -298,8 +302,9 @@ def bench_exsub_incremental(spark, n_docs: int) -> dict:
 
     spark.catalog.clearCache()
     docs = synth_docs(spark, n_docs, group=1000)
-    old = docs.where(F.col("doc_id") < n_docs // 2)
-    new = docs.where(F.col("doc_id") >= n_docs // 2)
+    cut = (n_docs * 9) // 10
+    old = docs.where(F.col("doc_id") < cut)
+    new = docs.where(F.col("doc_id") >= cut)
     tmp = tempfile.mkdtemp(prefix="exsub_idx_")
     try:
         SP.window_hash_index(old, "doc_id", "text", 8).write.mode(
@@ -309,7 +314,7 @@ def bench_exsub_incremental(spark, n_docs: int) -> dict:
 
         t0 = time.time()
         batch = SP.exact_substring_spans(docs, "doc_id", "text", 8)
-        n_batch_new = batch.where(F.col("doc_id") >= n_docs // 2).count()
+        n_batch_new = batch.where(F.col("doc_id") >= cut).count()
         batch_s = time.time() - t0
         spark.catalog.clearCache()
 
@@ -544,7 +549,7 @@ def main() -> None:
     kn = bench_knn_scale(spark, n_knn) if n_knn and not only_frontier else {}
 
     # Separate leg: steady-state incremental ExactSubstr vs full batch.
-    n_exsub = int(os.environ.get("BENCH_EXSUB_DOCS", "200000"))
+    n_exsub = int(os.environ.get("BENCH_EXSUB_DOCS", "800000"))
     ex = bench_exsub_incremental(spark, n_exsub) if n_exsub and not only_frontier else {}
 
     out = {
