@@ -133,6 +133,37 @@ def window_hash_index(df: DataFrame, id_col: str, text_col: str, w: int) -> Data
     return token_windows(df, id_col, text_col, w).select("whash").distinct()
 
 
+def write_window_index_bucketed(
+    index: DataFrame, table: str, buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Persist the window-hash index bucketed+sorted by ``whash`` so
+    steady-state probes never shuffle the index side (the same posture
+    as ``plans/bucketed_seen``: bucket count is a table property sized
+    to the data — 10^10 windows / 4096 buckets ~ 2.4M hashes each —
+    not the cluster size).  ``saveAsTable`` is required: bucket
+    metadata lives in the catalog, a plain parquet path write loses
+    the spec."""
+    (
+        index.write.mode(mode)
+        .bucketBy(buckets, "whash")
+        .sortBy("whash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_window_index(spark, table: str) -> DataFrame:
+    """The committed index as a probe side: the semi join reads its
+    buckets in place (``SelectedBucketsCount`` in the plan, zero
+    Exchange above the scan) and only the new batch's windows shuffle
+    — once, sized by the WAVE, not the accumulated corpus.  The
+    ``shuffle_merge`` hint pins the sort-merge path: at target scale
+    the index can never be broadcast, and letting the optimizer
+    broadcast a small test fixture would bypass the bucketed path this
+    function exists to exercise."""
+    return spark.table(table).hint("shuffle_merge")
+
+
 def duplicate_window_marks_incremental(
     new: DataFrame, index: DataFrame, id_col: str, text_col: str, w: int
 ) -> DataFrame:

@@ -184,6 +184,48 @@ def test_incremental_probe_is_semi_join_on_whash(spark):
     assert idx.columns == ["whash"]  # 8 bytes/row, nothing else persists
 
 
+def test_bucketed_index_probe_reads_buckets_in_place(spark):
+    """The committed bucketed index must serve the incremental probe
+    with ZERO index-side shuffle: exactly one Exchange in the probe
+    join (the new batch's windows routing to the buckets) and the
+    bucketed scan visible in the plan."""
+    table = "win_idx_spans_test"
+    old = spark.createDataFrame(DOCS[:2], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(DOCS[2:], "doc_id LONG, text STRING")
+    try:
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=8
+        )
+        idx = SP.bucketed_window_index(spark, table)
+        probe = SP.token_windows(new, "doc_id", "text", 8).join(
+            idx, "whash", "left_semi"
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # and the full incremental output through the bucketed index
+        # equals the plain-frame path
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in SP.exact_substring_spans_incremental(
+                new, idx, "doc_id", "text", 8
+            ).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in SP.exact_substring_spans_incremental(
+                new,
+                SP.window_hash_index(old, "doc_id", "text", 8),
+                "doc_id",
+                "text",
+                8,
+            ).collect()
+        )
+        assert got == want and got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_production_window_size_w50(spark):
     """The prod-scale W=50 hash chain (50-arg xxhash64 codegen) works
     and recovers a long shared passage exactly."""
