@@ -124,12 +124,15 @@ SOFT404_RE = (
 def soft404_reason(status: Column, html: Column, thin_bytes: int = 512) -> Column:
     """NULL for a good page; otherwise why it is a soft 404:
     ``'title'`` (title carries an error marker) or ``'thin-body'``
-    (body marker AND page under ``thin_bytes``).  Pages whose HTTP
-    status already says 4xx/5xx are NOT soft 404s — the status is
-    honest — so they come back NULL too.  Codegen-only."""
+    (body marker AND page under ``thin_bytes`` — UTF-8 BYTES via
+    ``octet_length``, so the thin cutoff means what it says on
+    non-ASCII pages; the oracle replays it with DuckDB ``strlen``,
+    which is also byte-counted).  Pages whose HTTP status already says
+    4xx/5xx are NOT soft 404s — the status is honest — so they come
+    back NULL too.  Codegen-only."""
     title = F.regexp_extract(html, r"(?i)<title>([^<]*)</title>", 1)
     title_hit = title.rlike(SOFT404_RE)
-    body_hit = html.rlike(SOFT404_RE) & (F.length(html) < thin_bytes)
+    body_hit = html.rlike(SOFT404_RE) & (F.octet_length(html) < thin_bytes)
     return F.when(
         status == 200,
         F.when(title_hit, F.lit("title")).when(body_hit, F.lit("thin-body")),

@@ -268,7 +268,16 @@ def delete_from_cuckoo(
     bucket holding it, else the second, else drop it from overflow.
     Keys whose fingerprint is absent no-op (never inserted, or already
     deleted — the exact confirm downstream keeps results right either
-    way).  Returns a new CuckooShards sharing nothing with the old."""
+    way).  Returns a new CuckooShards sharing nothing with the old.
+
+    ``deletes`` is distinct-ed here (``build_cuckoo`` distincts its
+    input, so the table holds ONE copy per key): without the distinct,
+    a duplicated delete row would zero a second stored copy of the
+    same fingerprint — possibly a colliding key's only copy — turning
+    the no-false-negative guarantee into a silent false negative.  For
+    the same reason, do NOT re-delete a key across calls: after its
+    copy is gone, a second delete can only hit a collider's copy.
+    Callers that cannot guarantee this must rebuild instead."""
     nb, sl, n_shards = filt.n_buckets, filt.slots, filt.n_shards
     tables = {
         s: np.frombuffer(b, dtype=np.uint16).copy() for s, b in filt.shards.items()
@@ -277,7 +286,7 @@ def delete_from_cuckoo(
         s: list(np.frombuffer(b, dtype=np.uint16)) for s, b in filt.overflow.items()
     }
     rows = (
-        _with_hashes(deletes.select(key_col), key_col)
+        _with_hashes(deletes.select(key_col).distinct(), key_col)
         .select("_h1", "_h2")
         .collect()
     )

@@ -166,9 +166,26 @@ def budget_select(
     if budget <= 0:
         raise ValueError("budget must be positive")
     d = docs.where(F.col(token_col) > 0)
-    hi = d.agg(F.max(F.col(id_col).cast("long"))).first()[0]
+    # One driver job fetches max(id) for K and, for free in the same
+    # agg, validates the fold's preconditions: quality outside
+    # [0, 1000] or a negative id would silently corrupt the packed
+    # order key (quality 1001 sorts after quality 0) — raise instead.
+    st = d.agg(
+        F.max(F.col(id_col).cast("long")).alias("hi"),
+        F.min(F.col(id_col).cast("long")).alias("lo"),
+        F.min(F.col(quality_col).cast("long")).alias("qlo"),
+        F.max(F.col(quality_col).cast("long")).alias("qhi"),
+    ).first()
+    hi = st["hi"]
     if hi is None:
         return d.withColumn("cum_tokens", F.lit(0).cast("long"))
+    if st["lo"] < 0:
+        raise ValueError(f"{id_col} must be non-negative (min={st['lo']})")
+    if st["qlo"] < 0 or st["qhi"] > 1000:
+        raise ValueError(
+            f"{quality_col} must be integer per-mille in [0, 1000]"
+            f" (saw [{st['qlo']}, {st['qhi']}])"
+        )
     k = int(hi) + 1
     keyed = d.withColumn(
         "_okey",

@@ -307,12 +307,17 @@ def cm_build(df, key_col: str, w: int = 1 << 14, d: int = 4):
 def cm_estimate(df, sketch, key_col: str, w: int | None = None, out_col: str = "freq_est"):
     """Add ``out_col``: the count-min point estimate (min over the d
     rows) for each key — one vectorized gather over the broadcast
-    matrix, keys never shuffled."""
+    matrix, keys never shuffled.  ``w`` is derived from the sketch
+    itself; passing one that disagrees raises (a caller-supplied wider
+    w would IndexError mid-gather, a narrower one would silently hash
+    into the wrong columns and break the est >= exact guarantee)."""
     import numpy as np
     import pandas as pd
 
     d, w_ = sketch.shape
-    w = w or w_
+    if w is not None and w != w_:
+        raise ValueError(f"w={w} disagrees with sketch width {w_}")
+    w = w_
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(sketch))
     idx_cols = [f"_cm{i}" for i in range(d)]

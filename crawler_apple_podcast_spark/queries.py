@@ -4409,7 +4409,7 @@ def politeness_adaptive_delay(spark, sf):
     "|no longer available|been removed)') THEN 'title'"
     " WHEN regexp_matches(html,"
     " '(?i)(page not found|not found|error 404|404 error|does not exist"
-    "|no longer available|been removed)') AND length(html) < 512"
+    "|no longer available|been removed)') AND strlen(html) < 512"
     " THEN 'thin-body' END END AS reason FROM p)"
     " SELECT doc_id, CAST(status AS INT) AS status, reason,"
     " CAST(CASE WHEN reason IS NULL THEN 0 ELSE 1 END AS INT) AS is_soft"
@@ -4517,9 +4517,12 @@ _CANON_URL = "'https://h' || ({i} % 7) || '.example.com/p/' || {i}"
     " '<html><head></head><body>' || text"
     " ELSE '<html><head><link rel=\"canonical\" href=\"' || hd ||"
     " '\"/></head><body>' || text END AS html FROM d),"
-    " x AS (SELECT url, nullif(regexp_extract(regexp_extract(html,"
-    " '<link[^>]*rel=\"canonical\"[^>]*>', 0), 'href=\"([^\"]*)\"', 1),"
-    " '') AS href FROM pg),"
+    " x AS (SELECT url, coalesce("
+    " nullif(regexp_extract(tag, '(?:^|[\\s\"''])href\\s*=\\s*\"([^\"]*)\"', 1), ''),"
+    " nullif(regexp_extract(tag, '(?:^|[\\s\"''])href\\s*=\\s*''([^'']*)''', 1), '')"
+    " ) AS href FROM (SELECT url, regexp_extract(html,"
+    " '<link[^>]*[\\s\"'']rel\\s*=\\s*[\"'']?canonical\\b[^>]*>', 0) AS tag"
+    " FROM pg)),"
     " e AS (SELECT url AS src, CASE WHEN href LIKE '/%' AND href NOT LIKE '//%'"
     " THEN regexp_extract(url, '^(https://[^/]+)', 1) || href"
     " ELSE href END AS dst FROM x WHERE href IS NOT NULL),"

@@ -62,3 +62,36 @@ def test_chain_collapse_and_cycle_truncation(spark):
     assert out["https://x.ex/c1"] == (None, None, "truncated")
     assert out["https://x.ex/c2"] == (None, None, "truncated")
     release_redirect_cache()
+
+
+def test_extraction_laxity_and_attribute_anchoring(spark):
+    rows = [
+        # single-quoted rel value
+        ("https://a.ex/1", "<link rel='canonical' href=\"https://a.ex/c1\">"),
+        # unquoted rel value
+        ("https://a.ex/2", '<link rel=canonical href="https://a.ex/c2">'),
+        # whitespace around the equals signs
+        ("https://a.ex/3", '<link rel = "canonical" href = "https://a.ex/c3">'),
+        # single-quoted href
+        ("https://a.ex/4", "<link rel=\"canonical\" href='https://a.ex/c4'>"),
+        # data-href is NOT href (anchored attribute match); real href wins
+        ("https://a.ex/5",
+         '<link rel="canonical" data-href="https://a.ex/bad" href="https://a.ex/c5">'),
+        # data-href alone must not produce an edge
+        ("https://a.ex/6", '<link rel="canonical" data-href="https://a.ex/bad">'),
+        # "barrel=" must not satisfy the rel scan
+        ("https://a.ex/7", '<link barrel="canonical" href="https://a.ex/bad">'),
+        # rel=canonicals (longer token) must not match (\b)
+        ("https://a.ex/8", '<link rel="canonicals" href="https://a.ex/bad">'),
+    ]
+    got = {
+        r.src_url: r.dst_url
+        for r in canonical_edges(_pages(spark, rows)).collect()
+    }
+    assert got == {
+        "https://a.ex/1": "https://a.ex/c1",
+        "https://a.ex/2": "https://a.ex/c2",
+        "https://a.ex/3": "https://a.ex/c3",
+        "https://a.ex/4": "https://a.ex/c4",
+        "https://a.ex/5": "https://a.ex/c5",
+    }
