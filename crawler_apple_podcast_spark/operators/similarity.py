@@ -317,9 +317,54 @@ def lsh_band_buckets(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Buckets are size-bounded (VERDICT r4 #2): a (band, key) bucket with
+    more than ``max_bucket`` members is STAR-PAIRED against its min
+    doc_id instead of self-joined — O(k) candidate pairs instead of
+    C(k,2).  Unbounded, one 100k-member boilerplate/template cluster
+    (j ~ 0.85, untouched by upstream exact dedup) emits ~5e9 pairs from
+    a single bucket at 100 TB — the same blowup ``mirrors.py`` caps by
+    fingerprint ubiquity and ``dust.py`` avoids by pairing against the
+    group min.  Recall contract under the cap: pair ENUMERATION is
+    complete only for buckets of <= ``max_bucket`` members; in an
+    oversized bucket every member is still a candidate WITH the bucket
+    center, so after the exact confirm a true near-dup cluster stays
+    one connected component (the downstream CC / representative-pick
+    consumers are exactly star-shaped anyway) but non-center pair
+    (a, b) similarities inside mega-clusters are not individually
+    reported.  Cost shape: the size count shuffles on (band, key) —
+    the same key the pair join uses, so the partitioning is reused,
+    not a second full shuffle.  ``max_bucket=None`` restores the
+    unbounded all-pairs join."""
     buckets = lsh_band_buckets(signatures, bands, rows_per_band)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        sized = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_ctr", F.min("doc_id").over(w)
+        )
+        small = sized.where(F.col("_n") <= max_bucket)
+        a = small.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        b = small.select(F.col("doc_id").alias("doc_b"), "band", "key")
+        all_pairs = (
+            a.join(b, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        # star pairs: center is the bucket min, so doc_a < doc_b holds
+        star = (
+            sized.where((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_ctr")))
+            .select(F.col("_ctr").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        return all_pairs.unionByName(star).distinct()
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -340,6 +385,7 @@ def minhash_dedup_pairs(
     bands: int = 12,
     rows_per_band: int = 3,
     cache_registry: list[DataFrame] | None = None,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact confirmation: LSH only
     prunes the pair space; every surviving pair is exact-Jaccard
@@ -355,6 +401,11 @@ def minhash_dedup_pairs(
     families, down from 60 in round 2: the family derivation is the
     dominant map cost and the measured r2 recall margin was orders of
     magnitude more than needed.
+
+    Candidate buckets are size-bounded (``max_bucket``, star-pairing
+    above it — see ``lsh_candidate_pairs``): enumeration is complete
+    up to bucket size ``max_bucket``; mega-cluster members remain
+    connected through the bucket center rather than all-pairs.
 
     Scale shape: the full corpus is touched only by the signature scan
     — per-occurrence gram hashes (fixed-width longs, never n-gram
@@ -380,7 +431,7 @@ def minhash_dedup_pairs(
         shingle_hashes(df, id_col, text_col, n), n_hashes
     ).persist()
     sig.count()
-    cands = lsh_candidate_pairs(sig, bands, rows_per_band).persist()
+    cands = lsh_candidate_pairs(sig, bands, rows_per_band, max_bucket).persist()
     reg.append(cands)
     cands.count()
     # sig is fully consumed once cands is materialized (nothing in the

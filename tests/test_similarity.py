@@ -579,3 +579,53 @@ def test_containment_candidates_restrict(spark):
     }
     # only the candidate pair is scored, both directions emitted
     assert got == {(1, 2), (2, 1)}
+
+
+def test_lsh_bucket_cap_parity_below_cap(spark, docs):
+    """With every bucket under the cap (documents data: max bucket ~3),
+    the capped candidate join is pair-identical to the unbounded one."""
+    sig = S.minhash_signatures_from_hashes(
+        S.shingle_hashes(docs, "doc_id", "text", 3), 36
+    ).cache()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in S.lsh_candidate_pairs(sig, 12, 3, max_bucket=256).collect()
+    }
+    unbounded = {
+        (r.doc_a, r.doc_b)
+        for r in S.lsh_candidate_pairs(sig, 12, 3, max_bucket=None).collect()
+    }
+    sig.unpersist()
+    assert capped == unbounded and len(capped) > 0
+
+
+def test_lsh_bucket_cap_star_pairs_mega_cluster(spark):
+    """A planted k-member near-dup cluster over the cap yields O(k)
+    star pairs (not C(k,2)), every member stays reachable from the
+    cluster min, and connected components over the CONFIRMED pairs
+    match the unbounded run's components exactly."""
+    from crawler_apple_podcast_spark.operators.graph import connected_components
+
+    k = 24
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(k)]  # identical text: one mega bucket
+    rows += [(100, "alpha beta gamma delta eps zeta"),
+             (101, "alpha beta gamma delta eps eta"),
+             (200, "totally unrelated text about spark plans")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    capped = S.minhash_dedup_pairs(df, "doc_id", "text", 3, 500, max_bucket=4)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # mega cluster: exactly k-1 star pairs, all anchored at the min id
+    mega = {(a, b) for a, b in got if b < 100}
+    assert mega == {(0, i) for i in range(1, k)}
+    # small cluster under the cap keeps its direct pair
+    assert (100, 101) in got
+    unbounded = S.minhash_dedup_pairs(df, "doc_id", "text", 3, 500, max_bucket=None)
+    cc_cap = {
+        (r.id, r.component) for r in connected_components(capped).collect()
+    }
+    cc_unb = {
+        (r.id, r.component) for r in connected_components(unbounded).collect()
+    }
+    assert cc_cap == cc_unb
+    S.release_similarity_cache()
