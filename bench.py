@@ -346,6 +346,77 @@ def bench_lsh_megacluster(spark, n_docs: int = 100_000, cluster_k: int = 10_000)
     }
 
 
+def bench_cc_incremental(spark, n_docs: int, group: int = 4) -> dict:
+    """Steady-state component maintenance (VERDICT r4 #5): batch CC
+    over the FULL pair graph vs the incremental fold of the newest
+    wave's edges into committed labels read back from parquet (the
+    per-wave commit shape; its build is untimed — steady state means
+    it exists).  Corpus: ``n_docs`` in chains of ``group`` (components
+    of known diameter); wave = 10% more docs, half linking into old
+    components (merges), half pairing among themselves (new
+    components).  Batch re-propagates labels across every old edge
+    each wave; incremental touches only the committed LABEL table
+    (broadcast-probed, never shuffled) and a label graph bounded by
+    the wave — old pairs are never reread.  Results compared by an
+    order-insensitive xxhash64 checksum over (id, component)."""
+    spark.catalog.clearCache()
+    old_edges = (
+        spark.range(n_docs)
+        .where(F.pmod("id", F.lit(group)) != group - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    w = n_docs // 10
+    nw = spark.range(n_docs, n_docs + w)
+    new_edges = nw.select(
+        F.col("id").alias("doc_a"),
+        F.when(
+            F.pmod("id", F.lit(2)) == 0,
+            F.pmod(F.col("id") * F.lit(group), F.lit(n_docs)),
+        )
+        .otherwise(F.col("id") - 1)
+        .alias("doc_b"),
+    )
+
+    from crawler_apple_podcast_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    import shutil
+    import tempfile
+
+    def checksum(labels, id_col="id"):
+        # per-row hashes folded into [0, 2^31) before the sum so the
+        # long accumulator cannot overflow under ANSI mode
+        h = F.pmod(F.xxhash64(F.col(id_col), F.col("component")), F.lit(1 << 31))
+        return labels.agg(F.sum(h).alias("c")).first()["c"]
+
+    tmp = tempfile.mkdtemp(prefix="ccinc_idx_")
+    try:
+        connected_components(old_edges).write.mode("overwrite").parquet(tmp)
+        committed = spark.read.parquet(tmp)
+
+        t0 = time.time()
+        cs_batch = checksum(connected_components(old_edges.unionByName(new_edges)))
+        batch_s = time.time() - t0
+        spark.catalog.clearCache()
+
+        t0 = time.time()
+        cs_incr = checksum(connected_components_incremental(committed, new_edges))
+        incr_s = time.time() - t0
+        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "ccinc_docs": n_docs,
+        "ccinc_wave_edges": w,
+        "ccinc_batch_sec": round(batch_s, 3),
+        "ccinc_incr_sec": round(incr_s, 3),
+        "ccinc_speedup": round(batch_s / incr_s, 2),
+        "ccinc_labels_match": cs_batch == cs_incr,
+    }
+
+
 def bench_exsub_incremental(spark, n_docs: int) -> dict:
     """Steady-state ExactSubstr: batch spans over the FULL corpus vs
     the incremental probe of the newest 10% against the committed
@@ -637,6 +708,10 @@ def main() -> None:
     n_lshcap = int(os.environ.get("BENCH_LSHCAP_DOCS", "100000"))
     lc = bench_lsh_megacluster(spark, n_lshcap) if n_lshcap and not only_frontier else {}
 
+    # Separate leg: incremental CC fold vs batch relabel over all edges.
+    n_ccinc = int(os.environ.get("BENCH_CCINC_DOCS", "8000000"))
+    cc = bench_cc_incremental(spark, n_ccinc) if n_ccinc and not only_frontier else {}
+
     out = {
         "metric": "frontier URLs scheduled+deduped per second (north rule) "
         "+ headline query suite wall time",
@@ -650,6 +725,7 @@ def main() -> None:
         **kn,
         **ex,
         **lc,
+        **cc,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

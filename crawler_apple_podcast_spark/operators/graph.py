@@ -163,6 +163,97 @@ def pagerank(
     return scores.select("node", F.col("sc").alias("rank_scaled"))
 
 
+def connected_components_incremental(
+    committed: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "id",
+    comp_col: str = "component",
+    max_rounds: int = 50,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Fold a NEW wave's near-dup edges into COMMITTED component
+    labels without rescanning any old pair: the steady-state crawl
+    twin of ``connected_components``, completing the incremental
+    family (T37 MinHash index probe, T81 window-hash index probe).
+
+    Correctness rests on the star equivalence: a committed component
+    {ids labeled L} is connectivity-equivalent to a star around L
+    (L is itself a member — the component min), so the union graph
+    (old edges + new edges) has exactly the components of (committed
+    stars + new edges).  The algorithm therefore:
+
+    1. resolves each new-edge endpoint to its committed label (its own
+       id if never seen) — one scan of ``committed``, probe side of a
+       broadcast join with the wave's vertex set, NO shuffle of the
+       committed table;
+    2. projects new edges into LABEL space and drops same-label edges
+       (intra-component confirmations — the dominant case in a crawl
+       re-encountering known mirrors — cost nothing);
+    3. runs ``connected_components`` on the label graph, whose size is
+       bounded by touched components + new docs, NOT the corpus;
+    4. relabels: committed rows pass through a broadcast join with the
+       (old label -> final label) mapping — touched components move,
+       everything else is untouched — and brand-new vertices resolve
+       through the same mapping.
+
+    Equality with batch CC over the edge union is exact, including
+    cross-wave merges (one new edge fusing two old components) and a
+    new doc id undercutting an old component min (the whole component
+    relabels to it).  pytest asserts it; the bench leg measures that
+    waves never reread old pairs.  ``committed`` must be a complete
+    label table (every old vertex exactly once, ``comp_col`` = min
+    reachable id).  ``broadcast_delta=False`` switches the two delta
+    joins to shuffle joins for waves too large to broadcast — at that
+    point batch relabeling is usually the better plan anyway."""
+    bcast = F.broadcast if broadcast_delta else (lambda df: df)
+    e = new_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    com = committed.select(
+        F.col(id_col).alias("vid"), F.col(comp_col).alias("_c")
+    )
+    lab = (
+        bcast(verts)
+        .join(com, "vid", "left")
+        .select("vid", F.coalesce(F.col("_c"), F.col("vid")).alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lab.select(F.col("vid").alias("src"), F.col("lbl").alias("_la"))
+    lb = lab.select(F.col("vid").alias("dst"), F.col("lbl").alias("_lb"))
+    lbl_edges = (
+        e.join(bcast(la), "src")
+        .join(bcast(lb), "dst")
+        .select(F.col("_la").alias("src_lbl"), F.col("_lb").alias("dst_lbl"))
+        .where(F.col("src_lbl") != F.col("dst_lbl"))
+        .distinct()
+    )
+    merged = connected_components(lbl_edges, "src_lbl", "dst_lbl", max_rounds)
+    mapping = merged.select(
+        F.col("id").alias("_from"), F.col("component").alias("_to")
+    ).localCheckpoint()
+    updated_committed = (
+        committed.join(bcast(mapping), committed[comp_col] == F.col("_from"), "left")
+        .select(
+            F.col(id_col).alias(id_col),
+            F.coalesce(F.col("_to"), F.col(comp_col)).alias(comp_col),
+        )
+    )
+    new_verts = (
+        lab.join(com.select("vid"), "vid", "left_anti")
+        .join(bcast(mapping), F.col("lbl") == F.col("_from"), "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.coalesce(F.col("_to"), F.col("lbl")).alias(comp_col),
+        )
+    )
+    return updated_committed.unionByName(new_verts)
+
+
 def dedup_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

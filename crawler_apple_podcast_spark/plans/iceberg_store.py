@@ -74,8 +74,8 @@ class IcebergSnapshotStore:
 
     # -- backend hooks ----------------------------------------------------
     # The commit/read PROTOCOL below (marker-last publish, idempotent
-    # re-commit via delete-before-append, reads gated on the marker)
-    # talks to storage only through these five hooks, so the protocol
+    # re-commit via atomic per-wave replacement, reads gated on the
+    # marker) talks to storage only through these hooks, so the protocol
     # itself is exercised by tests with an in-memory backend
     # (tests/test_iceberg_store.py) even though the Iceberg SQL backend
     # needs the runtime jar this sandbox doesn't ship.
@@ -97,6 +97,18 @@ class IcebergSnapshotStore:
     def _append(self, staged: DataFrame, full: str) -> None:
         staged.writeTo(full).append()
 
+    def _replace_wave_rows(self, staged: DataFrame, full: str, col: str, wave: int) -> None:
+        # ONE Iceberg snapshot replacing exactly this wave's rows
+        # (OverwriteByExpression).  Atomicity here is what makes a
+        # same-wave writer race lose CLEANLY: two concurrent
+        # commit_wave(N) calls each swap the partition whole, so the
+        # table ends with exactly one writer's rows — never the
+        # delete/delete/append/append duplication a torn
+        # delete-then-append pair allows.  (Cross-TABLE agreement
+        # between racing writers still needs catalog-level multi-table
+        # transactions; see commit_wave.)
+        staged.writeTo(full).overwrite(F.col(col) == F.lit(int(wave)))
+
     def _create_partitioned(self, staged: DataFrame, full: str) -> None:
         staged.writeTo(full).partitionedBy(F.col("_wave")).create()
 
@@ -113,6 +125,21 @@ class IcebergSnapshotStore:
         tables: dict[str, DataFrame],
         metrics: dict[str, Any] | None = None,
     ) -> dict[str, Any]:
+        """Marker-last publish with per-table ATOMIC wave replacement.
+
+        Each data table's wave partition is swapped in one Iceberg
+        snapshot (``_replace_wave_rows``), so (a) re-running a crashed
+        commit_wave(N) never duplicates rows, and (b) two writers
+        racing the SAME wave resolve per table to exactly one writer's
+        rows — last replace wins, no interleaved mixture.  The marker
+        is replaced the same way, last, so the wave becomes (or stays)
+        reader-visible only after some writer's full row set is in
+        place.  What racing writers do NOT get is cross-table
+        agreement: writer A can win table X while B wins table Y, and
+        the surviving marker's metrics name only one of them — that
+        needs catalog-level multi-table transactions (REST catalog),
+        out of protocol scope and encoded as such in
+        tests/test_iceberg_store.py."""
         summary: dict[str, Any] = {"wave": wave, "ts": time.time(), "tables": {}}
         for name, df in tables.items():
             # Reserved `_wave` partition column: several engine tables
@@ -120,22 +147,17 @@ class IcebergSnapshotStore:
             staged = df.withColumn("_wave", F.lit(wave).cast("int"))
             full = self._tbl(name)
             if self._table_exists(full):
-                # Retry safety: a crash after some appends but before
-                # the marker leaves orphan rows at _wave=N; re-running
-                # commit_wave(N) must not duplicate them.
-                self._delete_wave_rows(full, "_wave", wave)
-                self._append(staged, full)
+                self._replace_wave_rows(staged, full, "_wave", wave)
             else:
                 self._create_partitioned(staged, full)
             summary["tables"][name] = {"table": full}
         self._ensure_marker()
-        # Idempotent re-commit: one marker row per wave.
-        self._delete_wave_rows(self._tbl("_waves"), "wave", wave)
+        # Idempotent re-commit: one marker row per wave (atomic swap).
         marker = self.spark.createDataFrame(
             [(wave, summary["ts"], json.dumps(metrics or {}))],
             "wave INT, ts DOUBLE, metrics STRING",
         )
-        self._append(marker, self._tbl("_waves"))  # marker LAST = publish
+        self._replace_wave_rows(marker, self._tbl("_waves"), "wave", wave)  # marker LAST = publish
         summary["metrics"] = metrics or {}
         return summary
 

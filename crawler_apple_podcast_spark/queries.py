@@ -1138,6 +1138,27 @@ def dedup_connected_components(spark, sf):
     return G.dedup_components(pairs)
 
 
+# Incremental CC twin (graph.py connected_components_incremental,
+# VERDICT r4 #5): the corpus is split at doc_id 250 into a committed
+# wave (batch CC over old-only pairs) and a new wave (every pair
+# touching a doc >= 250); the incremental fold of the new edges into
+# the committed labels must equal batch CC over the full pair graph —
+# so the oracle IS the batch recursive-CTE oracle.
+@q("dedup_cc_incremental", _CC_ORACLE)
+def dedup_cc_incremental(spark, sf):
+    """Steady-state component maintenance: new near-dup edges merged
+    into committed labels without rescanning old pairs."""
+    pairs = S.minhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", 3, 500
+    ).localCheckpoint()
+    old = pairs.where((F.col("doc_a") < 250) & (F.col("doc_b") < 250))
+    new = pairs.where((F.col("doc_a") >= 250) | (F.col("doc_b") >= 250))
+    committed = G.connected_components(old).localCheckpoint()
+    return G.connected_components_incremental(committed, new).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def _simhash_oracle(bits: int = 64, chunks: int = 4, max_hamming: int = 3) -> str:
     """Full SQL replay of simhash_arith + chunked near-pair search: the
     per-bit (P, Q) constants are embedded as literals, chunk values are
@@ -1778,6 +1799,34 @@ def corpus_sample_stratified(spark, sf):
     )
     return out.select(
         "doc_id", F.col("_stratum").alias("lang"), F.col("_bucket").alias("bucket")
+    )
+
+
+# Leakage-safe train/val/test assignment (operators/sampling.py
+# split_assign, VERDICT r4 missing #4): HOST-keyed, so every page of a
+# site lands in the same split by construction — hash-of-doc-id splits
+# cannot guarantee that.  The oracle replays the same md5-hex bucket
+# arithmetic and cumulative per-mille ranges.
+@q(
+    "corpus_split_assign",
+    "WITH h AS (SELECT doc_id,"
+    " 'h' || (doc_id % 97) || '.example.com' AS host FROM documents)"
+    " SELECT doc_id, host,"
+    " CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'"
+    " ELSE 'test' END AS split FROM"
+    " (SELECT doc_id, host,"
+    " CAST('0x' || substr(md5(host), 1, 6) AS BIGINT) % 1000 AS b FROM h)",
+)
+def corpus_split_assign(spark, sf):
+    """Deterministic host-keyed train/val/test split: 900/50/50 per
+    mille, a pure function of the host key (replayable, stable under
+    corpus growth, leakage-safe at host granularity)."""
+    d = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("h"), F.pmod("doc_id", F.lit(97)).cast("string"), F.lit(".example.com")
+    )
+    return SAMP.split_assign(d.select("doc_id", host.alias("host")), "host").select(
+        "doc_id", "host", "split"
     )
 
 
@@ -3779,6 +3828,50 @@ def crawl_content_history(spark, sf):
         .alias("fingerprint"),
     )
     return content_history(h)
+
+
+# Interval (range) join (operators/asof.py interval_join, VERDICT r4
+# missing #4): points against non-overlapping SCD2-shaped validity
+# intervals — Spark runs the one-shuffle union+window as-of plan with
+# the gap post-filter; DuckDB's oracle is its native range-predicate
+# join (at most one match per point because intervals don't overlap).
+# Synthesis: 50 keys x 3 versions, intervals [5,13] [15,23] [25,open]
+# (a 1-wave gap between versions exercises the NULL-out path), points
+# at t = doc_id % 35 (t < 5 predates every interval).
+@q(
+    "crawl_interval_join",
+    "WITH ivl AS (SELECT doc_id % 50 AS k,"
+    " 5 + (doc_id // 50) * 10 AS valid_from_wave,"
+    " CASE WHEN doc_id // 50 = 2 THEN NULL"
+    " ELSE 5 + (doc_id // 50) * 10 + 8 END AS valid_to_wave,"
+    " 'v' || (doc_id // 50) AS content_hash"
+    " FROM documents WHERE doc_id < 150),"
+    " pts AS (SELECT doc_id, doc_id % 50 AS k, doc_id % 35 AS t FROM documents)"
+    " SELECT p.doc_id, p.k, p.t,"
+    " i.valid_to_wave, i.content_hash, i.valid_from_wave"
+    " FROM pts p LEFT JOIN ivl i ON p.k = i.k"
+    " AND p.t >= i.valid_from_wave"
+    " AND (i.valid_to_wave IS NULL OR p.t <= i.valid_to_wave)",
+)
+def crawl_interval_join(spark, sf):
+    """'Which content version was live when this fetch happened' —
+    point-in-interval enrichment over a content history."""
+    from .operators.asof import interval_join
+
+    d = _t(spark, sf, "documents")
+    seq = F.expr("doc_id div 50")
+    ivl = d.where(F.col("doc_id") < 150).select(
+        F.pmod("doc_id", F.lit(50)).alias("k"),
+        (F.lit(5) + seq * 10).alias("valid_from_wave"),
+        F.when(seq != 2, F.lit(5) + seq * 10 + 8).alias("valid_to_wave"),
+        F.concat(F.lit("v"), seq.cast("string")).alias("content_hash"),
+    )
+    pts = d.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(50)).alias("k"),
+        F.pmod("doc_id", F.lit(35)).alias("t"),
+    )
+    return interval_join(pts, ivl, "k", "t")
 
 
 # Mergeable HLL distinct counting (operators/sketches.py): the driver

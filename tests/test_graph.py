@@ -141,3 +141,51 @@ def test_select_component_representatives(spark):
 
     c = Counter(r.component for r in out if r.keep)
     assert all(v == 1 for v in c.values())
+
+
+def test_incremental_cc_equals_batch_on_union(spark):
+    from crawler_apple_podcast_spark.operators.graph import (
+        connected_components_incremental,
+    )
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    # new wave: extends comp{1,2,3} with a new doc; FUSES comps {10,11}
+    # and {20,21} through a new doc; adds a fresh pair; and a new doc
+    # (id 5) UNDERCUTS comp {10,...} mins so the whole merged component
+    # must relabel to 5; plus an intra-component confirmation (30,31)
+    new = [(3, 100), (11, 50), (50, 20), (5, 10), (200, 201), (30, 31)]
+    committed = connected_components(_edges(spark, old)).localCheckpoint()
+    got = _result(
+        connected_components_incremental(committed, _edges(spark, new))
+    )
+    want = _result(connected_components(_edges(spark, old + new)))
+    assert got == want
+    # and nothing is emitted twice
+    n = connected_components_incremental(committed, _edges(spark, new)).count()
+    assert n == len(want)
+
+
+@given(
+    old=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=12
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 45), st.integers(0, 45)), min_size=1, max_size=12
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_cc_random_graphs(spark, old, new):
+    from crawler_apple_podcast_spark.operators.graph import (
+        connected_components_incremental,
+    )
+
+    old = [(a, b) for a, b in old if a != b] or [(0, 1)]
+    new = [(a, b) for a, b in new if a != b] or [(40, 41)]
+    committed = connected_components(_edges(spark, old)).localCheckpoint()
+    got = _result(
+        connected_components_incremental(committed, _edges(spark, new))
+    )
+    want = _result(connected_components(_edges(spark, old + new)))
+    # incremental emits every committed vertex (even if its component
+    # has no new edge) plus new-edge vertices == batch's vertex set
+    assert got == want

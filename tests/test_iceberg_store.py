@@ -46,6 +46,12 @@ class MemStore(IcebergSnapshotStore):
     def _create_partitioned(self, staged, full):
         self.tables[full] = staged.localCheckpoint()
 
+    def _replace_wave_rows(self, staged, full, col, wave):
+        # the Iceberg OverwriteByExpression analog: ONE atomic swap of
+        # the wave's rows (materialize first, then a single assignment)
+        kept = self.tables[full].where(F.col(col) != wave)
+        self.tables[full] = kept.unionByName(staged).localCheckpoint()
+
     def _ensure_marker(self):
         if self._tbl("_waves") not in self.tables:
             self.tables[self._tbl("_waves")] = self.spark.createDataFrame(
@@ -121,3 +127,57 @@ def test_stores_share_the_contract(spark, tmp_path, kind):
     assert st.read_table("fetch_log").count() == 5
     with pytest.raises(Exception):
         st.read_wave("fetch_log", 7)
+
+
+def test_concurrent_same_wave_writers_leave_one_consistent_winner(spark):
+    """Two writers racing commit_wave(N) (VERDICT r4 #8): writer B's
+    ENTIRE commit lands between writer A's table replacement and A's
+    marker publish — the worst interleaving the marker-last protocol
+    admits.  Contract encoded here: per table, atomic wave replacement
+    means exactly ONE writer's complete row set survives (never a
+    duplicated or interleaved mixture), the marker holds exactly one
+    row for the wave, and readers see a consistent committed wave.
+    What the protocol does NOT promise (and this test pins): the
+    surviving marker's metrics may name the LOSING row-writer —
+    cross-table/marker agreement needs catalog-level multi-table
+    transactions."""
+    a_rows = [(1, "a1"), (2, "a2")]
+    b_rows = [(1, "b1"), (2, "b2"), (3, "b3")]
+
+    class RacingStore(MemStore):
+        def __init__(self, spark):
+            super().__init__(spark)
+            self._interleave = False
+
+        def _replace_wave_rows(self, staged, full, col, wave):
+            fire = self._interleave and full == self._tbl("fetch_log")
+            self._interleave = False  # one shot, and not for B's run
+            super()._replace_wave_rows(staged, full, col, wave)
+            if fire:
+                # writer B commits the whole wave while A is between
+                # its table write and its marker publish
+                self.commit_wave(
+                    1,
+                    {"fetch_log": spark.createDataFrame(b_rows, "id INT, url STRING")},
+                    metrics={"writer": "B"},
+                )
+
+    st = RacingStore(spark)
+    st.commit_wave(0, {"fetch_log": _wave_df(spark, 0)}, metrics={"w": 0})
+    st._interleave = True
+    st.commit_wave(
+        1,
+        {"fetch_log": spark.createDataFrame(a_rows, "id INT, url STRING")},
+        metrics={"writer": "A"},
+    )
+
+    assert st.last_committed_wave() == 1
+    got = sorted((r.id, r.url) for r in st.read_wave("fetch_log", 1).collect())
+    # exactly one writer's COMPLETE set — B's table write raced last
+    assert got == sorted(b_rows)
+    # marker: exactly one row for wave 1; its metrics name A (the last
+    # marker writer), which is NOT the surviving row-writer — the
+    # documented no-cross-table-agreement hole, pinned
+    markers = [m for m in st.lineage() if m["wave"] == 1]
+    assert len(markers) == 1
+    assert markers[0]["metrics"] == {"writer": "A"}
