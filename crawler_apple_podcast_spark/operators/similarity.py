@@ -343,7 +343,17 @@ def lsh_candidate_pairs(
     the same key the pair join uses, so the partitioning is reused,
     not a second full shuffle.  ``max_bucket=None`` restores the
     unbounded all-pairs join."""
-    buckets = lsh_band_buckets(signatures, bands, rows_per_band)
+    return _bucket_pairs(
+        lsh_band_buckets(signatures, bands, rows_per_band), max_bucket
+    ).distinct()
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(doc_a < doc_b) pairs from a ``(doc_id, band, key)`` bucket
+    frame: all-pairs self-join below ``max_bucket`` members per
+    (band, key), star-pairing against the bucket min above it (the
+    ``lsh_candidate_pairs`` cap, shared with the incremental probe's
+    within-batch join).  NOT distinct-ed — callers dedup once."""
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -364,14 +374,13 @@ def lsh_candidate_pairs(
             sized.where((F.col("_n") > max_bucket) & (F.col("doc_id") != F.col("_ctr")))
             .select(F.col("_ctr").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
-        return all_pairs.unionByName(star).distinct()
+        return all_pairs.unionByName(star)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -493,9 +502,20 @@ def minhash_probe_new(
     bands: int = 12,
     rows_per_band: int = 3,
     cache_registry: list[DataFrame] | None = None,
+    max_bucket: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection for a NEW crawl batch against an
     already-indexed corpus.
+
+    The within-batch self-join carries the same ``max_bucket`` star cap
+    as ``lsh_candidate_pairs`` (a template mega-cluster arriving in one
+    wave would otherwise emit C(k,2) pairs).  The cross join against
+    the index is NOT capped: its output is each new doc's links into
+    the indexed corpus — k matches for a doc hitting a k-member index
+    bucket is the answer, not a blowup, and it is linear in the new
+    batch.  An index whose buckets themselves grow pathological should
+    be compacted at commit time (store the bucket min as
+    representative), which composes with this cap.
 
     ``index_buckets`` is ``lsh_band_buckets`` output persisted from
     earlier batches; ``corpus`` must contain text for BOTH old and new
@@ -528,12 +548,7 @@ def minhash_probe_new(
             F.greatest("_na", "_ob").alias("doc_b"),
         )
     )
-    b = nb.select(F.col("doc_id").alias("_nb"), "band", "key")
-    within = (
-        a.join(b, ["band", "key"])
-        .where(F.col("_na") < F.col("_nb"))
-        .select(F.col("_na").alias("doc_a"), F.col("_nb").alias("doc_b"))
-    )
+    within = _bucket_pairs(nb, max_bucket)
     cands = cross.unionByName(within).distinct().persist()
     reg.append(cands)
     cands.count()
