@@ -198,9 +198,18 @@ def extract_hrefs(html: Column) -> Column:
     dot, so Java regex and the oracle dialect agree byte-for-byte);
     scheme-noise links (``javascript:``, ``mailto:``, ``tel:``,
     fragment-only) are dropped here so downstream resolution only sees
-    fetchable candidates."""
-    dq = F.regexp_extract_all(html, F.lit("<a [^>]*href=\"([^\"]*)\""), F.lit(1))
-    sq = F.regexp_extract_all(html, F.lit("<a [^>]*href='([^']*)'"), F.lit(1))
+    fetchable candidates.
+
+    The attribute is anchored — ``href`` must open the attribute list
+    or follow whitespace/quote (``<a\\s(?:[^>]*[\\s"'])?href``), so a
+    tag carrying only ``data-href="x"`` extracts NOTHING instead of
+    the greedy-backoff false link the unanchored form produced (the
+    same defect class ADVICE r4 flagged in ``canonical.py``; when a
+    real ``href`` is present alongside ``data-href`` both forms
+    already agreed).  ``=`` tolerates surrounding whitespace, matching
+    the laxity of the robots/sitemap/canonical parsers."""
+    dq = F.regexp_extract_all(html, F.lit(_HREF_DQ_PAT), F.lit(1))
+    sq = F.regexp_extract_all(html, F.lit(_HREF_SQ_PAT), F.lit(1))
     return F.filter(
         F.concat(dq, sq),
         lambda h: (F.length(h) > 0)
@@ -211,7 +220,13 @@ def extract_hrefs(html: Column) -> Column:
     )
 
 
-_ANCHOR_PAT = "<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+# Anchored href attribute: `href` opens the attribute list or follows
+# whitespace/quote, so `data-href="x"` alone never matches (ADVICE r4
+# defect class, see extract_hrefs).  RE2-safe: optional group instead
+# of lookbehind.
+_HREF_DQ_PAT = "<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*\"([^\"]*)\""
+_HREF_SQ_PAT = "<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*'([^']*)'"
+_ANCHOR_PAT = "<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
 
 
 def extract_anchors(html: Column) -> Column:

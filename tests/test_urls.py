@@ -200,6 +200,24 @@ def test_extract_hrefs_quotes_and_noise(spark):
     assert got == ["https://a.example/x", "/root", "rel/y.html"]
 
 
+def test_extract_hrefs_anchored_attribute(spark):
+    # ADVICE r4 defect class (canonical.py had it; extract_hrefs shared
+    # it): a tag carrying only data-href must extract NOTHING — the
+    # unanchored pattern greedy-backed-off into the attribute name and
+    # emitted a false link.  With a real href alongside, the real one
+    # wins; `=` whitespace and a leading-attribute href still match.
+    html = (
+        '<a data-href="/fake1">no</a>'
+        '<a data-href="/fake2" href="/real">yes</a>'
+        '<a href = "/spaced">yes</a>'
+        "<abbr href=\"/not-an-a-tag\">no</abbr>"
+        "<a data-href='/sqfake'>no</a>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(U.extract_hrefs(F.col("html")).alias("h")).first().h
+    assert got == ["/real", "/spaced"]
+
+
 def test_resolve_href_fixed(spark):
     cases = [
         ("https://abs.example/p", "https://h.example/dir/page.html",
@@ -263,6 +281,20 @@ def test_extract_anchors_pairs_and_filters(spark):
         ("/a", "first"),
         ("/b", "second one"),
     ]
+
+
+def test_extract_anchors_anchored_attribute(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_apple_podcast_spark.functions import urls as U
+
+    html = (
+        '<a data-href="/fake">decoy</a>'
+        '<a data-href="/d" href="/real">kept</a>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    [row] = df.select(U.extract_anchors(F.col("h")).alias("a")).collect()
+    assert [(p.href, p.anchor) for p in row.a] == [("/real", "kept")]
 
 
 def test_anchor_text_agg_dedupes_per_page(spark):
