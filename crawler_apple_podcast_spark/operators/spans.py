@@ -134,7 +134,8 @@ def window_hash_index(df: DataFrame, id_col: str, text_col: str, w: int) -> Data
 
 
 def write_window_index_bucketed(
-    index: DataFrame, table: str, buckets: int = 64, mode: str = "overwrite"
+    index: DataFrame, table: str, buckets: int = 64, mode: str = "overwrite",
+    w: int | None = None,
 ) -> None:
     """Persist the window-hash index bucketed+sorted by ``whash`` so
     steady-state probes never shuffle the index side (the same posture
@@ -142,7 +143,15 @@ def write_window_index_bucketed(
     to the data — 10^10 windows / 4096 buckets ~ 2.4M hashes each —
     not the cluster size).  ``saveAsTable`` is required: bucket
     metadata lives in the catalog, a plain parquet path write loses
-    the spec."""
+    the spec.
+
+    Pass ``w`` (the window length the index was scanned with) to stamp
+    a 1-row ``{table}__meta`` companion: an index probed in a LATER
+    session with a different ``w`` finds zero matching hashes and
+    silently passes every cross-index duplicate (a false negative with
+    no error anywhere) — the meta stamp lets ``bucketed_window_index``
+    turn that into a loud mismatch at open time.  In-session,
+    in-memory uses share one ``w`` variable and don't need it."""
     (
         index.write.mode(mode)
         .bucketBy(buckets, "whash")
@@ -150,9 +159,13 @@ def write_window_index_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+    if w is not None:
+        index.sparkSession.createDataFrame(
+            [(int(w), int(buckets))], "w INT, buckets INT"
+        ).write.mode("overwrite").format("parquet").saveAsTable(table + "__meta")
 
 
-def bucketed_window_index(spark, table: str) -> DataFrame:
+def bucketed_window_index(spark, table: str, w: int | None = None) -> DataFrame:
     """The committed index as a probe side: the semi join reads its
     buckets in place (``SelectedBucketsCount`` in the plan, zero
     Exchange above the scan) and only the new batch's windows shuffle
@@ -160,7 +173,23 @@ def bucketed_window_index(spark, table: str) -> DataFrame:
     ``shuffle_merge`` hint pins the sort-merge path: at target scale
     the index can never be broadcast, and letting the optimizer
     broadcast a small test fixture would bypass the bucketed path this
-    function exists to exercise."""
+    function exists to exercise.
+
+    Pass the ``w`` the PROBE will run with to validate it against the
+    committed index's stamp (see ``write_window_index_bucketed``) —
+    a mismatch raises here, at open time, instead of silently finding
+    zero cross-index duplicates in the semi join.  Indexes written
+    without a stamp skip the check (one 1-row table read when both
+    sides are present; nothing touches the probe plan)."""
+    if w is not None and spark.catalog.tableExists(table + "__meta"):
+        meta = spark.table(table + "__meta").first()
+        if meta is not None and meta["w"] != w:
+            raise ValueError(
+                f"window index {table!r} was committed with w={meta['w']}"
+                f" but the probe is running with w={w}: every window hash"
+                " would miss and cross-index duplicates would silently"
+                " survive — rebuild the index or probe with its w"
+            )
     return spark.table(table).hint("shuffle_merge")
 
 
@@ -181,7 +210,11 @@ def duplicate_window_marks_incremental(
     window: P ~ n_windows^2 / 2^64, the same accepted bound as the
     Bloom hash-pair confirm (operators/bloom.py).  Within-batch
     duplicates still string-confirm via ``duplicate_window_marks``.
-    New ids must be disjoint from indexed ids."""
+    New ids must be disjoint from indexed ids, and ``w`` MUST equal
+    the ``w`` the index was scanned with — a mismatch makes every
+    probe hash miss and cross-index duplicates silently survive
+    (open committed indexes through ``bucketed_window_index(spark,
+    table, w=...)``, which validates against the commit-time stamp)."""
     wins = token_windows(new, id_col, text_col, w)
     vs_index = wins.join(index, "whash", "left_semi").select("doc_id", "pos")
     within = duplicate_window_marks(new, id_col, text_col, w)

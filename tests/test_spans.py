@@ -1,6 +1,7 @@
 """Exact-substring span dedup: planted-passage recovery, keep-first,
 python referee parity, strip round-trip."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from crawler_apple_podcast_spark.operators import spans as SP
@@ -194,9 +195,14 @@ def test_bucketed_index_probe_reads_buckets_in_place(spark):
     new = spark.createDataFrame(DOCS[2:], "doc_id LONG, text STRING")
     try:
         SP.write_window_index_bucketed(
-            SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=8
+            SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=8, w=8
         )
-        idx = SP.bucketed_window_index(spark, table)
+        # a probe opened with a different w must refuse loudly (the
+        # silent alternative is zero hash matches = every cross-index
+        # duplicate surviving); the matching w opens fine
+        with pytest.raises(ValueError, match="committed with w=8"):
+            SP.bucketed_window_index(spark, table, w=50)
+        idx = SP.bucketed_window_index(spark, table, w=8)
         probe = SP.token_windows(new, "doc_id", "text", 8).join(
             idx, "whash", "left_semi"
         )
@@ -224,6 +230,7 @@ def test_bucketed_index_probe_reads_buckets_in_place(spark):
         assert got == want and got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__meta")
 
 
 def test_production_window_size_w50(spark):
