@@ -185,9 +185,15 @@ def connected_components_incremental(
     stars + new edges).  The algorithm therefore:
 
     1. resolves each new-edge endpoint to its committed label (its own
-       id if never seen) — one scan of ``committed``, probe side of a
-       broadcast join with the wave's vertex set, NO shuffle of the
-       committed table;
+       id if never seen) — the committed table STREAMS through one
+       INNER join against the broadcast wave vertex set, so it is
+       scanned but never shuffled.  (The join must be inner-with-
+       broadcast-right: a broadcast hint on the LEFT side of a left
+       outer join is silently dropped — BroadcastHashJoin cannot
+       build the outer side — and the plan degrades to a sort-merge
+       join that shuffles the whole committed table.  Never-seen
+       vertices are recovered as ``verts`` minus the inner-join hits,
+       a wave-sized anti join, instead of outer-join NULLs);
     2. projects new edges into LABEL space and drops same-label edges
        (intra-component confirmations — the dominant case in a crawl
        re-encountering known mirrors — cost nothing);
@@ -217,12 +223,20 @@ def connected_components_incremental(
     com = committed.select(
         F.col(id_col).alias("vid"), F.col(comp_col).alias("_c")
     )
-    lab = (
-        bcast(verts)
-        .join(com, "vid", "left")
-        .select("vid", F.coalesce(F.col("_c"), F.col("vid")).alias("lbl"))
+    # committed streams (build side = broadcast wave verts); zero
+    # Exchange on the committed side — plan-shape-pinned in
+    # tests/test_plan_shapes.py
+    found = (
+        com.join(bcast(verts), "vid", "inner")
+        .select("vid", F.col("_c").alias("lbl"))
         .localCheckpoint()
     )
+    fresh = (
+        verts.join(bcast(found.select("vid")), "vid", "left_anti")
+        .select("vid", F.col("vid").alias("lbl"))
+        .localCheckpoint()
+    )
+    lab = found.unionByName(fresh)
     la = lab.select(F.col("vid").alias("src"), F.col("lbl").alias("_la"))
     lb = lab.select(F.col("vid").alias("dst"), F.col("lbl").alias("_lb"))
     lbl_edges = (
@@ -244,8 +258,10 @@ def connected_components_incremental(
         )
     )
     new_verts = (
-        lab.join(com.select("vid"), "vid", "left_anti")
-        .join(bcast(mapping), F.col("lbl") == F.col("_from"), "left")
+        # fresh already IS verts-not-in-committed — derived from the
+        # inner-join hits, so no anti join ever touches the committed
+        # table
+        fresh.join(bcast(mapping), F.col("lbl") == F.col("_from"), "left")
         .select(
             F.col("vid").alias(id_col),
             F.coalesce(F.col("_to"), F.col("lbl")).alias(comp_col),

@@ -170,21 +170,34 @@ def budget_select(
     # agg, validates the fold's preconditions: quality outside
     # [0, 1000] or a negative id would silently corrupt the packed
     # order key (quality 1001 sorts after quality 0) — raise instead.
+    q = F.col(quality_col).cast("double")
     st = d.agg(
         F.max(F.col(id_col).cast("long")).alias("hi"),
         F.min(F.col(id_col).cast("long")).alias("lo"),
-        F.min(F.col(quality_col).cast("long")).alias("qlo"),
-        F.max(F.col(quality_col).cast("long")).alias("qhi"),
+        F.min(q).alias("qlo"),
+        F.max(q).alias("qhi"),
+        # integrality probe: 0.9 per-UNIT quality (the likely misuse)
+        # survives a [0,1000] range check after a long cast truncates
+        # it to 0 — and then silently collapses the order key to pure
+        # id order, the exact corruption this guard exists to refuse
+        F.max(F.abs(q - F.round(q))).alias("qfrac"),
+        (F.count(F.lit(1)) - F.count(q)).alias("qnulls"),
     ).first()
     hi = st["hi"]
     if hi is None:
         return d.withColumn("cum_tokens", F.lit(0).cast("long"))
     if st["lo"] < 0:
         raise ValueError(f"{id_col} must be non-negative (min={st['lo']})")
-    if st["qlo"] < 0 or st["qhi"] > 1000:
+    if st["qnulls"] or st["qlo"] is None:
+        raise ValueError(
+            f"{quality_col} must be numeric and non-NULL on every"
+            f" selected row ({st['qnulls']} NULL/non-numeric)"
+        )
+    if st["qlo"] < 0 or st["qhi"] > 1000 or st["qfrac"] != 0:
         raise ValueError(
             f"{quality_col} must be integer per-mille in [0, 1000]"
-            f" (saw [{st['qlo']}, {st['qhi']}])"
+            f" (saw [{st['qlo']}, {st['qhi']}],"
+            f" max fractional part {st['qfrac']})"
         )
     k = int(hi) + 1
     keyed = d.withColumn(

@@ -335,11 +335,19 @@ def lsh_candidate_pairs(
     group min.  Recall contract under the cap: pair ENUMERATION is
     complete only for buckets of <= ``max_bucket`` members; in an
     oversized bucket every member is still a candidate WITH the bucket
-    center, so after the exact confirm a true near-dup cluster stays
-    one connected component (the downstream CC / representative-pick
-    consumers are exactly star-shaped anyway) but non-center pair
-    (a, b) similarities inside mega-clusters are not individually
-    reported.  Cost shape: the size count shuffles on (band, key) —
+    center, so a cluster whose members all confirm against the center
+    (identical/templated pages — what actually fills a mega-bucket)
+    stays one component, but a CHAIN-shaped cluster (A~B and B~C
+    confirm, A~C does not, all colliding into one oversized bucket)
+    can split: C's only surviving candidate edge is to the center A,
+    which the exact confirm kills.  That is the standard O(k) LSH-cap
+    trade-off — no linear pairing can guarantee connectivity that
+    needs C(k,2) edges — and it only begins above ``max_bucket``
+    members per (band, key); below the cap enumeration is exact
+    (``tests/test_similarity.py`` pins both sides).  Consumers whose
+    contract is exact all-pairs at any bucket size must pass
+    ``max_bucket=None``.  Cost shape: the size count shuffles on
+    (band, key) —
     the same key the pair join uses, so the partitioning is reused,
     not a second full shuffle.  ``max_bucket=None`` restores the
     unbounded all-pairs join."""
@@ -525,7 +533,13 @@ def minhash_probe_new(
     involve at least one new doc (``doc_a < doc_b`` canonical order,
     same schema/semantics as ``minhash_dedup_pairs``), and the new
     batch's bucket rows — union them onto the stored index for the
-    next batch.  New ids must be disjoint from indexed ids.
+    next batch.  New ids must be disjoint from indexed ids, and
+    ``n`` / ``n_hashes`` / ``bands`` / ``rows_per_band`` MUST equal
+    the values the index was built with — a drifted parameter set
+    makes every band key miss and cross-index near-dups silently
+    survive (same trap as a window-hash index probed with the wrong
+    ``w``; an index committed across sessions should stamp these four
+    the way ``spans.write_window_index_bucketed`` stamps its ``w``).
 
     This is the steady-state shape of crawl dedup: signatures are
     computed ONLY for the new batch (the expensive full-corpus scan of

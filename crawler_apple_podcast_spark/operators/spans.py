@@ -151,7 +151,29 @@ def write_window_index_bucketed(
     silently passes every cross-index duplicate (a false negative with
     no error anywhere) — the meta stamp lets ``bucketed_window_index``
     turn that into a loud mismatch at open time.  In-session,
-    in-memory uses share one ``w`` variable and don't need it."""
+    in-memory uses share one ``w`` variable and don't need it.
+
+    With ``mode="append"`` an existing stamp is VALIDATED against the
+    incoming ``w`` (before any data lands) instead of replaced —
+    overwriting it would let a wave scanned with the wrong ``w`` mix
+    dead hashes into the index and then relabel the stamp so the
+    open-time check waves the mixture through."""
+    spark = index.sparkSession
+    meta_tbl = table + "__meta"
+    if (
+        w is not None
+        and mode == "append"
+        and spark.catalog.tableExists(meta_tbl)
+    ):
+        prev = spark.table(meta_tbl).first()
+        if prev is not None and prev["w"] != w:
+            raise ValueError(
+                f"window index {table!r} is stamped w={prev['w']}; appending"
+                f" a wave scanned with w={w} would mix hash families"
+                " (every cross-family probe silently misses) — rebuild"
+                " with mode='overwrite' or rescan the wave with the"
+                " index's w"
+            )
     (
         index.write.mode(mode)
         .bucketBy(buckets, "whash")
@@ -160,9 +182,9 @@ def write_window_index_bucketed(
         .saveAsTable(table)
     )
     if w is not None:
-        index.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(int(w), int(buckets))], "w INT, buckets INT"
-        ).write.mode("overwrite").format("parquet").saveAsTable(table + "__meta")
+        ).write.mode("overwrite").format("parquet").saveAsTable(meta_tbl)
 
 
 def bucketed_window_index(spark, table: str, w: int | None = None) -> DataFrame:

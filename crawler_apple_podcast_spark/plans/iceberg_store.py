@@ -89,12 +89,12 @@ class IcebergSnapshotStore:
     def _read(self, full: str) -> DataFrame:
         return self.spark.table(full)
 
-    def _delete_wave_rows(self, full: str, col: str, wave: int) -> None:
-        # Prunes to the one partition (one Iceberg delete-files
-        # snapshot, metadata-only when the partition is whole files).
-        self.spark.sql(f"DELETE FROM {full} WHERE {col} = {int(wave)}")
-
     def _append(self, staged: DataFrame, full: str) -> None:
+        # Not on the commit path (commit_wave swaps whole wave
+        # partitions atomically via _replace_wave_rows) — kept as a
+        # storage hook so tests can inject torn half-commit state
+        # (orphan rows with no marker) through the same backend
+        # surface the protocol reads from.
         staged.writeTo(full).append()
 
     def _replace_wave_rows(self, staged: DataFrame, full: str, col: str, wave: int) -> None:

@@ -1110,7 +1110,15 @@ def corpus_split_leakage_safe(spark, sf):
 @q("dedup_minhash_lsh", _SHINGLE_CTE.format(thr=500))
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH prune, exact confirm — oracle is the exact all-pairs
-    computation (LSH recall at these parameters is total on this data)."""
+    computation (LSH recall at these parameters is total on this data).
+
+    Oracle-equivalence domain: exact while every (band, key) bucket
+    holds <= ``max_bucket`` (default 256) members — above that the
+    star cap makes candidate enumeration deliberately approximate
+    (see ``lsh_candidate_pairs``).  The documents table's buckets are
+    far below the cap at every tested sf; a corpus with genuine
+    256+-member mega-buckets is exactly the regime where the exact
+    all-pairs oracle itself is uncomputable."""
     return S.minhash_dedup_pairs(_t(spark, sf, "documents"), "doc_id", "text", 3, 500)
 
 

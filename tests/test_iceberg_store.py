@@ -33,11 +33,6 @@ class MemStore(IcebergSnapshotStore):
     def _read(self, full):
         return self.tables[full]
 
-    def _delete_wave_rows(self, full, col, wave):
-        self.tables[full] = (
-            self.tables[full].where(F.col(col) != wave).localCheckpoint()
-        )
-
     def _append(self, staged, full):
         cur = self.tables.get(full)
         out = staged if cur is None else cur.unionByName(staged)

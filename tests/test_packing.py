@@ -239,3 +239,29 @@ def test_budget_select_is_exact_prefix(spark):
             assert not seen_drop  # a kept doc after a dropped one = not a prefix
         else:
             seen_drop = True
+
+
+def test_budget_select_guard_refuses_bad_quality(spark):
+    """The order-key fold assumes integer per-mille quality: fractional
+    per-UNIT quality (0.9) long-truncates to 0 and would silently
+    collapse the order to pure id — the guard must refuse it, along
+    with NULL quality and out-of-range values, each with a ValueError
+    (never a TypeError from comparing None)."""
+    import pytest
+
+    from crawler_apple_podcast_spark.operators.packing import budget_select
+
+    def run(rows, schema="doc_id LONG, n_tokens LONG, q DOUBLE"):
+        df = spark.createDataFrame(rows, schema)
+        return budget_select(df, "n_tokens", 100, "q").collect()
+
+    with pytest.raises(ValueError, match="fractional"):
+        run([(1, 10, 0.9), (2, 10, 0.5)])
+    with pytest.raises(ValueError, match="NULL"):
+        run([(1, 10, None), (2, 10, 500.0)])
+    with pytest.raises(ValueError, match="per-mille"):
+        run([(1, 10, 1001.0), (2, 10, 500.0)])
+    with pytest.raises(ValueError, match="non-negative"):
+        run([(-1, 10, 500.0)])
+    # in-range integral doubles are fine
+    assert {r.doc_id for r in run([(1, 10, 900.0), (2, 10, 100.0)])} == {1, 2}

@@ -261,3 +261,58 @@ def test_canonical_edges_codegen_live_single_html_scan(spark):
     # generator expression; nullif/coalesce may print a couple of
     # textual copies), nowhere near the dozens the inline form emits
     assert p.count("canonical\\b") <= 4
+
+
+def test_incremental_cc_committed_table_never_shuffles(spark, tmp_path, monkeypatch):
+    """The committed label table must STREAM through the incremental
+    fold — inner join against the broadcast wave verts, broadcast
+    mapping relabel — never shuffle.  A broadcast hint on the LEFT of
+    a left outer join is silently dropped (BroadcastHashJoin cannot
+    build the outer side) and the plan degrades to a sort-merge join
+    shuffling the whole corpus-sized table: the regression this test
+    exists to catch.  Auto-broadcast is disabled so only explicit
+    hints can win, and every localCheckpoint materialization is spied
+    (the found-stage plan never appears in the final plan)."""
+    import pyspark.sql.dataframe as D
+    from pyspark.sql import functions as F
+
+    from crawler_apple_podcast_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_edges = spark.range(2000).where(F.pmod("id", F.lit(4)) != 3).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    path = str(tmp_path / "cc_committed")
+    connected_components(old_edges).write.mode("overwrite").parquet(path)
+    committed = spark.read.parquet(path)
+    new_edges = spark.range(2000, 2100).select(
+        F.col("id").alias("doc_a"), (F.col("id") - 1000).alias("doc_b")
+    )
+
+    captured = []
+    orig = D.DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager)
+
+    monkeypatch.setattr(D.DataFrame, "localCheckpoint", spy)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = connected_components_incremental(committed, new_edges)
+        final = out._jdf.queryExecution().executedPlan().toString()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    # every plan that reads the committed parquet — the found-stage
+    # checkpoint and the final relabel union — must be broadcast-only
+    touching = [p for p in captured + [final] if "FileScan parquet" in p]
+    assert touching, "committed scan not found in any captured plan"
+    for p in touching:
+        assert "SortMergeJoin" not in p, p
+        assert "Exchange hashpartitioning" not in p, p
+        assert "BroadcastHashJoin" in p, p

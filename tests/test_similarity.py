@@ -629,3 +629,19 @@ def test_lsh_bucket_cap_star_pairs_mega_cluster(spark):
     }
     assert cc_cap == cc_unb
     S.release_similarity_cache()
+
+
+def test_lsh_bucket_cap_chain_enumeration_documented(spark):
+    """The documented above-cap trade-off, pinned: in an OVERSIZED
+    (band, key) bucket enumeration is star-only — a chain cluster
+    (A~B and B~C would confirm, A~C would not) never sees the (B, C)
+    edge, so C can split from the component.  That is the stated
+    contract boundary (see lsh_candidate_pairs), not a regression;
+    exact consumers pass max_bucket=None, which recovers the chain."""
+    buckets = spark.createDataFrame(
+        [(1, 0, 7), (2, 0, 7), (3, 0, 7)], "doc_id INT, band INT, key LONG"
+    )
+    star = {(r.doc_a, r.doc_b) for r in S._bucket_pairs(buckets, 2).collect()}
+    assert star == {(1, 2), (1, 3)}  # (2, 3) deliberately not enumerated
+    allp = {(r.doc_a, r.doc_b) for r in S._bucket_pairs(buckets, None).collect()}
+    assert allp == {(1, 2), (1, 3), (2, 3)}

@@ -244,3 +244,33 @@ def test_production_window_size_w50(spark):
     )
     rows = SP.exact_substring_spans(df, "doc_id", "text", w=50).collect()
     assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [(2, 1, 120)]
+
+
+def test_bucketed_index_append_validates_stamp(spark):
+    """mode='append' with a DIFFERENT w must refuse before any data
+    lands (overwriting the stamp would wave a mixed-family index
+    through the open-time check); appending with the matching w works
+    and keeps the stamp."""
+    table = "win_idx_append_stamp_test"
+    old = spark.createDataFrame(DOCS[:2], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(DOCS[2:], "doc_id LONG, text STRING")
+    try:
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=4, w=8
+        )
+        before = spark.table(table).count()
+        with pytest.raises(ValueError, match="stamped w=8"):
+            SP.write_window_index_bucketed(
+                SP.window_hash_index(new, "doc_id", "text", 50),
+                table, buckets=4, mode="append", w=50,
+            )
+        assert spark.table(table).count() == before  # nothing landed
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(new, "doc_id", "text", 8),
+            table, buckets=4, mode="append", w=8,
+        )
+        assert spark.table(table).count() > before
+        SP.bucketed_window_index(spark, table, w=8)  # stamp intact
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__meta")
