@@ -228,7 +228,11 @@ def connected_components_incremental(
     # tests/test_plan_shapes.py
     found = (
         com.join(bcast(verts), "vid", "inner")
-        .select("vid", F.col("_c").alias("lbl"))
+        # the coalesce heals a contract-violating NULL component to the
+        # vertex's own id (the old outer-join form tolerated this;
+        # without it a NULL label nulls the src!=dst edge filter and
+        # silently DROPS every wave edge touching that vertex)
+        .select("vid", F.coalesce(F.col("_c"), F.col("vid")).alias("lbl"))
         .localCheckpoint()
     )
     fresh = (
@@ -250,11 +254,14 @@ def connected_components_incremental(
     mapping = merged.select(
         F.col("id").alias("_from"), F.col("component").alias("_to")
     ).localCheckpoint()
+    # same NULL-component heal as `found`: a NULL label would both
+    # miss the mapping join and survive into the output
+    healed = F.coalesce(F.col(comp_col), F.col(id_col))
     updated_committed = (
-        committed.join(bcast(mapping), committed[comp_col] == F.col("_from"), "left")
+        committed.join(bcast(mapping), healed == F.col("_from"), "left")
         .select(
             F.col(id_col).alias(id_col),
-            F.coalesce(F.col("_to"), F.col(comp_col)).alias(comp_col),
+            F.coalesce(F.col("_to"), healed).alias(comp_col),
         )
     )
     new_verts = (

@@ -182,7 +182,21 @@ def budget_select(
         # id order, the exact corruption this guard exists to refuse
         F.max(F.abs(q - F.round(q))).alias("qfrac"),
         (F.count(F.lit(1)) - F.count(q)).alias("qnulls"),
+        # a NULL (or long-uncastable) id would NULL the order key and
+        # the bucket join would silently DROP the row from the
+        # selection — refuse, same as NULL quality
+        (F.count(F.lit(1)) - F.count(F.col(id_col).cast("long"))).alias(
+            "idnulls"
+        ),
     ).first()
+    if st["idnulls"]:
+        # before the hi-is-None early return: an all-NULL id column
+        # would otherwise slip through it as "empty input"
+        raise ValueError(
+            f"{id_col} must be a non-NULL integer on every selected row"
+            f" ({st['idnulls']} NULL/non-castable) — a NULL order key"
+            " silently drops the row"
+        )
     hi = st["hi"]
     if hi is None:
         return d.withColumn("cum_tokens", F.lit(0).cast("long"))

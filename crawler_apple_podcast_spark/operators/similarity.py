@@ -317,6 +317,71 @@ def lsh_band_buckets(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _lsh_params(n: int, n_hashes: int, bands: int, rows_per_band: int) -> dict:
+    return {
+        "n": int(n),
+        "n_hashes": int(n_hashes),
+        "bands": int(bands),
+        "rows_per_band": int(rows_per_band),
+    }
+
+
+def write_lsh_index_bucketed(
+    index_buckets: DataFrame,
+    table: str,
+    n: int,
+    n_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``lsh_band_buckets`` output bucketed+sorted on the probe
+    key (band, key) and stamp the FOUR parameters the hash family
+    depends on — shingle ``n``, ``n_hashes``, ``bands``,
+    ``rows_per_band`` — into a 1-row ``{table}__meta`` companion
+    (``operators/stamps.py`` lifecycle: append validates before data
+    lands, un-parameterized overwrite drops the stamp).  A later
+    session probing with a drifted parameter set would make every band
+    key miss and every cross-index near-dup silently survive — the
+    same failure family the window-hash index stamps ``w`` against."""
+    from . import stamps
+
+    spark = index_buckets.sparkSession
+    params = _lsh_params(n, n_hashes, bands, rows_per_band)
+    stamps.validate_before_write(spark, table, params, mode)
+    existed = spark.catalog.tableExists(table)
+    (
+        index_buckets.write.mode(mode)
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    stamps.stamp_after_write(spark, table, params, mode, existed)
+
+
+def bucketed_lsh_index(
+    spark,
+    table: str,
+    n: int,
+    n_hashes: int,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Open a committed LSH index for ``minhash_probe_new``: validates
+    the probe's parameters against the commit-time stamp (mismatch
+    raises HERE instead of silently finding nothing), and pins the
+    sort-merge path so the bucketed scan serves the (band, key) join
+    in place — only the new batch's bucket rows shuffle."""
+    from . import stamps
+
+    stamps.check_stamp(
+        spark, table, _lsh_params(n, n_hashes, bands, rows_per_band)
+    )
+    return spark.table(table).hint("shuffle_merge")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -538,8 +603,9 @@ def minhash_probe_new(
     the values the index was built with — a drifted parameter set
     makes every band key miss and cross-index near-dups silently
     survive (same trap as a window-hash index probed with the wrong
-    ``w``; an index committed across sessions should stamp these four
-    the way ``spans.write_window_index_bucketed`` stamps its ``w``).
+    ``w``).  Cross-session commits should go through
+    ``write_lsh_index_bucketed`` / ``bucketed_lsh_index``, which stamp
+    and validate exactly these four parameters.
 
     This is the steady-state shape of crawl dedup: signatures are
     computed ONLY for the new batch (the expensive full-corpus scan of

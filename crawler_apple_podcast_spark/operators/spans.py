@@ -153,27 +153,19 @@ def write_window_index_bucketed(
     turn that into a loud mismatch at open time.  In-session,
     in-memory uses share one ``w`` variable and don't need it.
 
-    With ``mode="append"`` an existing stamp is VALIDATED against the
-    incoming ``w`` (before any data lands) instead of replaced —
-    overwriting it would let a wave scanned with the wrong ``w`` mix
-    dead hashes into the index and then relabel the stamp so the
-    open-time check waves the mixture through."""
+    Stamp lifecycle (shared rules, ``operators/stamps.py``): appends
+    onto a stamped table validate BEFORE any data lands (and a stamped
+    table refuses un-parameterized appends); an un-parameterized
+    overwrite drops the stamp rather than leaving one that vouches for
+    the wrong hash family; appending onto a pre-existing unstamped
+    table never stamps retroactively (the stamp cannot vouch for rows
+    it did not see committed)."""
+    from . import stamps
+
     spark = index.sparkSession
-    meta_tbl = table + "__meta"
-    if (
-        w is not None
-        and mode == "append"
-        and spark.catalog.tableExists(meta_tbl)
-    ):
-        prev = spark.table(meta_tbl).first()
-        if prev is not None and prev["w"] != w:
-            raise ValueError(
-                f"window index {table!r} is stamped w={prev['w']}; appending"
-                f" a wave scanned with w={w} would mix hash families"
-                " (every cross-family probe silently misses) — rebuild"
-                " with mode='overwrite' or rescan the wave with the"
-                " index's w"
-            )
+    params = None if w is None else {"w": int(w)}
+    stamps.validate_before_write(spark, table, params, mode)
+    existed = spark.catalog.tableExists(table)
     (
         index.write.mode(mode)
         .bucketBy(buckets, "whash")
@@ -181,10 +173,7 @@ def write_window_index_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
-    if w is not None:
-        spark.createDataFrame(
-            [(int(w), int(buckets))], "w INT, buckets INT"
-        ).write.mode("overwrite").format("parquet").saveAsTable(meta_tbl)
+    stamps.stamp_after_write(spark, table, params, mode, existed)
 
 
 def bucketed_window_index(spark, table: str, w: int | None = None) -> DataFrame:
@@ -203,15 +192,9 @@ def bucketed_window_index(spark, table: str, w: int | None = None) -> DataFrame:
     zero cross-index duplicates in the semi join.  Indexes written
     without a stamp skip the check (one 1-row table read when both
     sides are present; nothing touches the probe plan)."""
-    if w is not None and spark.catalog.tableExists(table + "__meta"):
-        meta = spark.table(table + "__meta").first()
-        if meta is not None and meta["w"] != w:
-            raise ValueError(
-                f"window index {table!r} was committed with w={meta['w']}"
-                f" but the probe is running with w={w}: every window hash"
-                " would miss and cross-index duplicates would silently"
-                " survive — rebuild the index or probe with its w"
-            )
+    from . import stamps
+
+    stamps.check_stamp(spark, table, None if w is None else {"w": int(w)})
     return spark.table(table).hint("shuffle_merge")
 
 

@@ -189,3 +189,23 @@ def test_incremental_cc_random_graphs(spark, old, new):
     # incremental emits every committed vertex (even if its component
     # has no new edge) plus new-edge vertices == batch's vertex set
     assert got == want
+
+
+def test_incremental_cc_heals_null_committed_component(spark):
+    """A contract-violating NULL component in the committed table heals
+    to the vertex's own id instead of NULLing the label-edge filter
+    (which would silently DROP every wave edge touching that vertex)."""
+    from crawler_apple_podcast_spark.operators.graph import (
+        connected_components_incremental,
+    )
+
+    committed = spark.createDataFrame(
+        [(7, None), (8, 8)], "id LONG, component LONG"
+    )
+    new_edges = spark.createDataFrame([(7, 42)], "doc_a LONG, doc_b LONG")
+    got = {
+        (r.id, r.component)
+        for r in connected_components_incremental(committed, new_edges).collect()
+    }
+    # the 7~42 merge must survive: both label to min(7, 42) = 7
+    assert got == {(7, 7), (8, 8), (42, 7)}

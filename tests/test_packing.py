@@ -265,3 +265,25 @@ def test_budget_select_guard_refuses_bad_quality(spark):
         run([(-1, 10, 500.0)])
     # in-range integral doubles are fine
     assert {r.doc_id for r in run([(1, 10, 900.0), (2, 10, 100.0)])} == {1, 2}
+
+
+def test_budget_select_refuses_null_ids(spark):
+    """A NULL id would NULL the packed order key and the bucket join
+    would silently drop the row from the selection — refuse instead,
+    including when EVERY id is NULL (which must not masquerade as
+    empty input)."""
+    import pytest
+
+    from crawler_apple_podcast_spark.operators.packing import budget_select
+
+    df = spark.createDataFrame(
+        [(None, 10, 900.0), (2, 10, 500.0)],
+        "doc_id LONG, n_tokens LONG, q DOUBLE",
+    )
+    with pytest.raises(ValueError, match="non-NULL integer"):
+        budget_select(df, "n_tokens", 100, "q").collect()
+    all_null = spark.createDataFrame(
+        [(None, 10, 900.0)], "doc_id LONG, n_tokens LONG, q DOUBLE"
+    )
+    with pytest.raises(ValueError, match="non-NULL integer"):
+        budget_select(all_null, "n_tokens", 100, "q").collect()

@@ -645,3 +645,50 @@ def test_lsh_bucket_cap_chain_enumeration_documented(spark):
     assert star == {(1, 2), (1, 3)}  # (2, 3) deliberately not enumerated
     allp = {(r.doc_a, r.doc_b) for r in S._bucket_pairs(buckets, None).collect()}
     assert allp == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_lsh_index_stamp_roundtrip_and_refusal(spark):
+    """Committed LSH band-bucket index: the four hash-family parameters
+    stamp at write and validate at open — a drifted banding raises
+    instead of silently missing every cross-index near-dup — and the
+    probe through the committed index equals the in-memory path."""
+    import pytest
+
+    table = "lsh_idx_stamp_test"
+    rows = [(1, "alpha beta gamma delta eps zeta"),
+            (2, "alpha beta gamma delta eps eta"),
+            (3, "totally different text body here")]
+    old = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta eps zeta")], "doc_id INT, text STRING"
+    )
+    corpus = old.unionByName(new)
+    sig_old = S.minhash_signatures_from_hashes(
+        S.shingle_hashes(old, "doc_id", "text", 3), 36
+    )
+    try:
+        S.write_lsh_index_bucketed(
+            S.lsh_band_buckets(sig_old, 12, 3), table,
+            n=3, n_hashes=36, bands=12, rows_per_band=3, buckets=4,
+        )
+        with pytest.raises(ValueError, match="bands: committed=12 probe=16"):
+            S.bucketed_lsh_index(spark, table, n=3, n_hashes=36, bands=16,
+                                 rows_per_band=3)
+        idx = S.bucketed_lsh_index(spark, table, n=3, n_hashes=36, bands=12,
+                                   rows_per_band=3)
+        got, _ = S.minhash_probe_new(new, idx, corpus, "doc_id", "text",
+                                     threshold_milli=500, n=3, n_hashes=36,
+                                     bands=12, rows_per_band=3)
+        want, _ = S.minhash_probe_new(
+            new, S.lsh_band_buckets(sig_old, 12, 3), corpus, "doc_id", "text",
+            threshold_milli=500, n=3, n_hashes=36, bands=12, rows_per_band=3,
+        )
+        # doc 2 differs from doc 10 only in the last token: 3 of 5
+        # distinct shingles shared -> jaccard 0.6 >= 0.5, a real pair
+        assert {(r.doc_a, r.doc_b) for r in got.collect()} == {
+            (r.doc_a, r.doc_b) for r in want.collect()
+        } == {(1, 10), (2, 10)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__meta")
+        S.release_similarity_cache()

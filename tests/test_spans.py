@@ -200,7 +200,7 @@ def test_bucketed_index_probe_reads_buckets_in_place(spark):
         # a probe opened with a different w must refuse loudly (the
         # silent alternative is zero hash matches = every cross-index
         # duplicate surviving); the matching w opens fine
-        with pytest.raises(ValueError, match="committed with w=8"):
+        with pytest.raises(ValueError, match="committed=8 probe=50"):
             SP.bucketed_window_index(spark, table, w=50)
         idx = SP.bucketed_window_index(spark, table, w=8)
         probe = SP.token_windows(new, "doc_id", "text", 8).join(
@@ -259,7 +259,7 @@ def test_bucketed_index_append_validates_stamp(spark):
             SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=4, w=8
         )
         before = spark.table(table).count()
-        with pytest.raises(ValueError, match="stamped w=8"):
+        with pytest.raises(ValueError, match="committed=8 probe=50"):
             SP.write_window_index_bucketed(
                 SP.window_hash_index(new, "doc_id", "text", 50),
                 table, buckets=4, mode="append", w=50,
@@ -271,6 +271,48 @@ def test_bucketed_index_append_validates_stamp(spark):
         )
         assert spark.table(table).count() > before
         SP.bucketed_window_index(spark, table, w=8)  # stamp intact
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__meta")
+
+
+def test_stamp_lifecycle_overwrite_and_retroactive_rules(spark):
+    """Shared stamp lifecycle (operators/stamps.py): an
+    un-parameterized OVERWRITE drops a stale stamp (which would vouch
+    for the wrong hash family and fail the right probe); appending
+    with w onto a pre-existing UNSTAMPED table never stamps
+    retroactively; appending without w onto a STAMPED table refuses."""
+    table = "win_idx_lifecycle_test"
+    old = spark.createDataFrame(DOCS[:2], "doc_id LONG, text STRING")
+    try:
+        # stamped w=50, then rebuilt without w: stamp must be gone,
+        # and a w=8 probe of the w=8 rebuild must NOT raise
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(old, "doc_id", "text", 50), table, buckets=4, w=50
+        )
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=4
+        )
+        assert not spark.catalog.tableExists(table + "__meta")
+        SP.bucketed_window_index(spark, table, w=8)  # no spurious raise
+
+        # append WITH w onto the (now unstamped, pre-existing) table:
+        # data lands but no retroactive stamp appears
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(old, "doc_id", "text", 8),
+            table, buckets=4, mode="append", w=8,
+        )
+        assert not spark.catalog.tableExists(table + "__meta")
+
+        # stamped table refuses an un-parameterized append
+        SP.write_window_index_bucketed(
+            SP.window_hash_index(old, "doc_id", "text", 8), table, buckets=4, w=8
+        )
+        with pytest.raises(ValueError, match="parameter-stamped"):
+            SP.write_window_index_bucketed(
+                SP.window_hash_index(old, "doc_id", "text", 8),
+                table, buckets=4, mode="append",
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__meta")
