@@ -214,7 +214,15 @@ def connected_components_incremental(
     joins to shuffle joins for waves too large to broadcast — at that
     point batch relabeling is usually the better plan anyway."""
     bcast = F.broadcast if broadcast_delta else (lambda df: df)
-    e = new_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # NULL endpoints carry no connectivity information but would
+    # otherwise leak through the anti join (NULL never matches) as an
+    # (id=NULL, component=NULL) row corrupting the label table for
+    # every later wave — drop them at the door, like the NULL-key
+    # routing in operators/bloom.py.  Same for a NULL committed id.
+    e = new_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    committed = committed.where(F.col(id_col).isNotNull())
     verts = (
         e.select(F.col("src").alias("vid"))
         .union(e.select(F.col("dst").alias("vid")))

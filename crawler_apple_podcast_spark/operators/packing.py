@@ -188,6 +188,15 @@ def budget_select(
         (F.count(F.lit(1)) - F.count(F.col(id_col).cast("long"))).alias(
             "idnulls"
         ),
+        # fractional ids (10.2, 10.6) long-truncate into COLLIDING
+        # order keys — tied rows then share one inclusive cumsum and
+        # the budget cut silently drops/keeps the wrong docs
+        F.max(
+            F.abs(
+                F.col(id_col).cast("double")
+                - F.round(F.col(id_col).cast("double"))
+            )
+        ).alias("idfrac"),
     ).first()
     if st["idnulls"]:
         # before the hi-is-None early return: an all-NULL id column
@@ -202,6 +211,11 @@ def budget_select(
         return d.withColumn("cum_tokens", F.lit(0).cast("long"))
     if st["lo"] < 0:
         raise ValueError(f"{id_col} must be non-negative (min={st['lo']})")
+    if st["idfrac"]:
+        raise ValueError(
+            f"{id_col} must be integral (max fractional part"
+            f" {st['idfrac']}) — truncation would collide order keys"
+        )
     if st["qnulls"] or st["qlo"] is None:
         raise ValueError(
             f"{quality_col} must be numeric and non-NULL on every"

@@ -347,18 +347,10 @@ def write_lsh_index_bucketed(
     same failure family the window-hash index stamps ``w`` against."""
     from . import stamps
 
-    spark = index_buckets.sparkSession
-    params = _lsh_params(n, n_hashes, bands, rows_per_band)
-    stamps.validate_before_write(spark, table, params, mode)
-    existed = spark.catalog.tableExists(table)
-    (
-        index_buckets.write.mode(mode)
-        .bucketBy(buckets, "band", "key")
-        .sortBy("band", "key")
-        .format("parquet")
-        .saveAsTable(table)
+    stamps.write_stamped_bucketed(
+        index_buckets, table, ("band", "key"),
+        _lsh_params(n, n_hashes, bands, rows_per_band), buckets, mode,
     )
-    stamps.stamp_after_write(spark, table, params, mode, existed)
 
 
 def bucketed_lsh_index(

@@ -162,18 +162,10 @@ def write_window_index_bucketed(
     it did not see committed)."""
     from . import stamps
 
-    spark = index.sparkSession
-    params = None if w is None else {"w": int(w)}
-    stamps.validate_before_write(spark, table, params, mode)
-    existed = spark.catalog.tableExists(table)
-    (
-        index.write.mode(mode)
-        .bucketBy(buckets, "whash")
-        .sortBy("whash")
-        .format("parquet")
-        .saveAsTable(table)
+    stamps.write_stamped_bucketed(
+        index, table, ("whash",),
+        None if w is None else {"w": int(w)}, buckets, mode,
     )
-    stamps.stamp_after_write(spark, table, params, mode, existed)
 
 
 def bucketed_window_index(spark, table: str, w: int | None = None) -> DataFrame:

@@ -51,17 +51,27 @@ def read_stamp(spark, table: str) -> dict | None:
 
 
 def check_stamp(spark, table: str, params: Mapping[str, int] | None) -> None:
-    """Raise when ``params`` disagrees with the committed stamp on any
-    shared field.  No stamp, or no params, validates nothing."""
+    """Raise when ``params`` disagrees with the committed stamp.  No
+    stamp, or no params, validates nothing.  Every probe parameter
+    must be PRESENT in the stamp — skipping unknown keys would let a
+    stamp written by an older writer (or missing a newly-added
+    parameter) vouch for a value it never recorded, reinstating the
+    silent-miss failure this module exists to prevent."""
     if not params:
         return
     stamp = read_stamp(spark, table)
     if stamp is None:
         return
+    missing = sorted(k for k in params if k not in stamp)
+    if missing:
+        raise ValueError(
+            f"index {table!r} stamp {stamp} does not record"
+            f" parameter(s) {missing} the probe depends on — the stamp"
+            " cannot vouch for them; rebuild the index with the"
+            " current writer"
+        )
     bad = {
-        k: (stamp[k], v)
-        for k, v in params.items()
-        if k in stamp and stamp[k] != v
+        k: (stamp[k], v) for k, v in params.items() if stamp[k] != v
     }
     if bad:
         detail = ", ".join(
@@ -97,6 +107,46 @@ def stamp_after_write(
         spark.sql(f"DROP TABLE IF EXISTS {mt}")
     # append onto stamped+matching: stamp already right, nothing to do
     # append onto pre-existing unstamped: stays unstamped
+
+
+def write_stamped_bucketed(
+    index,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    params: Mapping[str, int] | None,
+    buckets: int,
+    mode: str,
+) -> None:
+    """The one write choreography every stamped bucketed index uses —
+    validate (append), drop a divergent stamp, write the data
+    bucketed+sorted on the probe key, stamp.  Living HERE means the
+    spans and similarity writers cannot drift apart on the order of
+    these steps.
+
+    Data and stamp are two separate ``saveAsTable`` calls — the
+    parquet session catalog has no multi-table transaction — so a
+    crash between them is possible.  The order below makes every
+    crash window UNGUARDED rather than WRONGLY VOUCHED: before a
+    parameter-CHANGING overwrite the old stamp is dropped first, so
+    dying after the data write leaves a stampless table (probes pass
+    unguarded, legacy semantics) instead of a stale stamp that
+    validates the wrong hash family and rejects the right one."""
+    spark = index.sparkSession
+    validate_before_write(spark, table, params, mode)
+    if mode == "overwrite":
+        prev = read_stamp(spark, table)
+        want = {k: int(v) for k, v in (params or {}).items()}
+        if prev is not None and prev != want:
+            spark.sql(f"DROP TABLE IF EXISTS {_meta(table)}")
+    existed = spark.catalog.tableExists(table)
+    (
+        index.write.mode(mode)
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    stamp_after_write(spark, table, params, mode, existed)
 
 
 def validate_before_write(

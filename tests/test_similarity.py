@@ -676,6 +676,20 @@ def test_lsh_index_stamp_roundtrip_and_refusal(spark):
                                  rows_per_band=3)
         idx = S.bucketed_lsh_index(spark, table, n=3, n_hashes=36, bands=12,
                                    rows_per_band=3)
+        # plan pin (the spans twin of test_bucketed_index_probe_*):
+        # the committed index serves the (band, key) join IN PLACE —
+        # bucketed scan visible, exactly ONE (band, key) Exchange in
+        # the probe join and it belongs to the NEW side
+        sig_new = S.minhash_signatures_from_hashes(
+            S.shingle_hashes(new, "doc_id", "text", 3), 36
+        )
+        nb = S.lsh_band_buckets(sig_new, 12, 3)
+        probe = nb.select(F.col("doc_id").alias("_n"), "band", "key").join(
+            idx, ["band", "key"]
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan
         got, _ = S.minhash_probe_new(new, idx, corpus, "doc_id", "text",
                                      threshold_milli=500, n=3, n_hashes=36,
                                      bands=12, rows_per_band=3)
